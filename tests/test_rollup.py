@@ -1,0 +1,134 @@
+"""Golden tests for the rollup core — expectations ported from the reference's
+resampling unit tests (SignalSharp.Tests/Resampling/ResamplingTests.cs) plus
+tier-consistency and salted-path equivalence checks."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from transcriptts.rollup import (
+    coarsen_partials,
+    downsample,
+    rollup,
+    rollup_salted,
+    rollup_tiers,
+    segment_agg,
+    with_derived_metrics,
+)
+from transcriptts.synth import synth_transcripts_arrow
+
+
+def seg_col(df, col):
+    return [r[col] for r in df.orderBy("seg").collect()]
+
+
+# --- B.1 positional segment goldens (ResamplingTests.cs) -------------------
+
+
+def test_downsample_every_kth(make_signal):
+    # ResamplingTests.cs:22-30 — [1..6], factor 2 → [1,3,5]
+    out = downsample(make_signal([1, 2, 3, 4, 5, 6]), 2, "value")
+    assert [r["value"] for r in out.orderBy("pos").collect()] == [1.0, 3.0, 5.0]
+
+
+def test_segment_stats_factor2(make_signal):
+    df = segment_agg(make_signal([1, 2, 3, 4, 5, 6]), 2, "value")
+    assert seg_col(df, "seg_mean") == [1.5, 3.5, 5.5]  # :160-168
+    assert seg_col(df, "seg_median") == [1.5, 3.5, 5.5]  # :59-67
+    assert seg_col(df, "seg_max") == [2.0, 4.0, 6.0]  # :184-192
+    assert seg_col(df, "seg_min") == [1.0, 3.0, 5.0]  # :208-216
+    assert seg_col(df, "seg_cnt") == [2, 2, 2]
+
+
+def test_segment_median_partial_tail(make_signal):
+    # ResamplingTests.cs:81-89 — [1,3,2,5,4,6,7] f=3 → [2,5,7] (partial tail)
+    df = segment_agg(make_signal([1, 3, 2, 5, 4, 6, 7]), 3, "value")
+    assert seg_col(df, "seg_median") == [2.0, 5.0, 7.0]
+
+
+def test_segment_median_short_inputs(make_signal):
+    # :103-111 single element; :125-133 factor > length
+    assert seg_col(segment_agg(make_signal([1]), 2, "value"), "seg_median") == [1.0]
+    assert seg_col(segment_agg(make_signal([1, 2, 3]), 5, "value"), "seg_median") == [2.0]
+
+
+def test_downsample_rejects_bad_factor(make_signal):
+    with pytest.raises(ValueError):
+        downsample(make_signal([1.0]), 0, "value")
+
+
+# --- time-bucket rollup ------------------------------------------------------
+
+
+def test_metronome_buckets_equal_positional_segments(spark):
+    """1 turn/second starting on a minute boundary → 1m buckets == factor-60
+    positional segments (the bridge between reference semantics and time)."""
+    base = dt.datetime(2025, 1, 1, 0, 0, 0)
+    vals = [float((i * 7) % 23) for i in range(180)]
+    rows = [
+        ("m", i, "user", " ".join(["w"] * max(1, int(v))), None, base + dt.timedelta(seconds=i))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    r = (
+        rollup(with_derived_metrics(df), "1m")
+        .where("metric='token_count'")
+        .orderBy("bucket_start")
+        .collect()
+    )
+    tok = [max(1, int(v)) for v in vals]
+    for i, row in enumerate(r):
+        seg = tok[i * 60 : (i + 1) * 60]
+        assert row["cnt"] == 60
+        assert row["mean"] == pytest.approx(sum(seg) / 60)
+        assert row["min"] == min(seg) and row["max"] == max(seg)
+        s = sorted(seg)
+        assert row["p50"] == pytest.approx((s[29] + s[30]) / 2)  # even n → middle mean
+
+
+def test_latency_metric(spark):
+    base = dt.datetime(2025, 1, 1)
+    rows = [
+        ("c", 0, "user", "a", None, base),
+        ("c", 1, "assistant", "b", None, base + dt.timedelta(seconds=10)),
+        ("c", 2, "user", "c", None, base + dt.timedelta(seconds=40)),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    d = with_derived_metrics(df).orderBy("turn_idx").collect()
+    assert [r["latency_s"] for r in d] == [None, 10.0, 30.0]
+    r = rollup(with_derived_metrics(df), "1m").where("metric='latency_s'").collect()
+    assert len(r) == 1 and r[0]["cnt"] == 2 and r[0]["mean"] == 20.0
+
+
+def test_salted_rollup_matches_plain(spark):
+    tbl = synth_transcripts_arrow(n_convs=30, metronome_turns=90, seed=7)
+    d = with_derived_metrics(spark.createDataFrame(tbl.to_pandas()))
+    plain = {
+        (r["conv_id"], r["bucket_start"], r["metric"]): r for r in rollup(d, "1m").collect()
+    }
+    salted = rollup_salted(d, "1m", salt_buckets=4).collect()
+    assert len(salted) == len(plain)
+    for r in salted:
+        p = plain[(r["conv_id"], r["bucket_start"], r["metric"])]
+        for c in ("cnt", "mean", "min", "max", "p50", "p99"):
+            assert r[c] == pytest.approx(p[c], abs=1e-9), (c, r, p)
+
+
+def test_coarsen_partials_exact_moments(spark):
+    tbl = synth_transcripts_arrow(n_convs=25, metronome_turns=0, seed=11)
+    tiers = rollup_tiers(spark.createDataFrame(tbl.to_pandas()))
+    merged = {
+        (r["conv_id"], r["bucket_start"], r["metric"]): r
+        for r in coarsen_partials(tiers["1m"], "1h").collect()
+    }
+    for r in tiers["1h"].collect():
+        m = merged[(r["conv_id"], r["bucket_start"], r["metric"])]
+        assert m["cnt"] == r["cnt"]
+        for c in ("sum", "mean", "min", "max"):
+            assert m[c] == pytest.approx(r[c], abs=1e-9)

@@ -1,0 +1,256 @@
+"""Tumbling-window continuous aggregates — the rollup core.
+
+Re-expresses the reference's positional segment statistics
+(SegmentMean/Median/Min/Max, SignalSharp/Resampling/Resampling.cs:85-172) as
+time-bucket aggregates over real timestamps, generalized with count / p50 /
+p99 and the inter-turn latency metric per the north rule.
+
+Execution shape (scale notes):
+- everything is built-in Catalyst aggregates — count/sum/min/max/avg get
+  map-side partial aggregation for free, so the shuffle carries one partial
+  row per (conv_id, bucket, metric) per map task, not raw turns;
+- ``percentile`` is Spark's EXACT percentile (matches reference median
+  semantics: even n → mean of the two middle values); it buffers bucket
+  values, so bucket size — not conversation size — bounds task memory.
+  A conversation that is hot *across* buckets parallelizes naturally because
+  the grouping key includes the bucket; a single pathological bucket is
+  handled by the salted two-phase path in ``rollup_salted``;
+- no Python in this path at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .schema import TIERS
+
+METRICS = ("token_count", "latency_s")
+
+
+def token_count_col(text: str | Column = "text") -> Column:
+    """Whitespace token count; empty/blank → 0 (derived metric per input_hint)."""
+    c = F.col(text) if isinstance(text, str) else text
+    trimmed = F.trim(c)
+    return F.when(F.coalesce(trimmed, F.lit("")) == "", F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+"))
+    )
+
+
+def with_derived_metrics(df: DataFrame) -> DataFrame:
+    """Add token_count and inter-turn latency_s (seconds, null for turn 0).
+
+    latency = ts - lag(ts) over (partition by conv_id order by turn_idx) —
+    a single window, evaluated in one shuffle by (conv_id).
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    lat_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    return df.withColumn("token_count", token_count_col()).withColumn(
+        "latency_s", (lat_us / F.lit(1_000_000.0)).cast("double")
+    )
+
+
+def _long_metrics(df: DataFrame) -> DataFrame:
+    """Wide → long: one row per (turn, metric); null metric values dropped
+    (turn 0 has no latency — matches 'gaps do not exist' reference model)."""
+    pairs = ", ".join(f"'{m}', cast({m} as double)" for m in METRICS)
+    return (
+        df.select("conv_id", "ts", F.expr(f"stack({len(METRICS)}, {pairs}) as (metric, value)"))
+        .where(F.col("value").isNotNull())
+    )
+
+
+def rollup(df: DataFrame, tier: str = "1m") -> DataFrame:
+    """One retention tier of continuous aggregates from raw turns.
+
+    df must already carry token_count/latency_s (see with_derived_metrics).
+    Returns ROLLUP_SCHEMA rows.
+    """
+    duration = TIERS[tier]
+    long_df = _long_metrics(df)
+    return (
+        long_df.groupBy("conv_id", F.window("ts", duration).alias("w"), "metric")
+        .agg(
+            F.count("value").alias("cnt"),
+            F.sum("value").alias("sum"),
+            F.avg("value").alias("mean"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+            F.percentile("value", F.lit(0.5)).alias("p50"),
+            F.percentile("value", F.lit(0.99)).alias("p99"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("bucket_start"),
+            "metric",
+            "cnt",
+            "sum",
+            "mean",
+            "min",
+            "max",
+            "p50",
+            "p99",
+        )
+    )
+
+
+def rollup_salted(df: DataFrame, tier: str = "1m", salt_buckets: int = 8) -> DataFrame:
+    """Skew-hardened rollup: two-phase aggregation with an explicit salt.
+
+    Phase 1 groups by (conv_id, bucket, metric, salt) — a hot bucket splits
+    into `salt_buckets` parallel partial aggregates, each carrying a SORTED
+    value array for the percentile. Phase 2 merges partials: moments compose
+    exactly (sum/count/min/max), and the exact percentile is recovered by
+    flattening + sorting the per-salt sorted arrays (identical multiset →
+    identical percentile — no approximation).
+
+    Cost: the percentile arrays shuffle all values either way; what salting
+    buys is that no single *task* has to pre-aggregate a pathological bucket
+    alone. Use when one (conv, minute) can hold millions of turns.
+    """
+    duration = TIERS[tier]
+    long_df = _long_metrics(df).withColumn(
+        "salt", F.pmod(F.hash("ts"), F.lit(salt_buckets))
+    )
+    partial = long_df.groupBy(
+        "conv_id", F.window("ts", duration).alias("w"), "metric", "salt"
+    ).agg(
+        F.count("value").alias("p_cnt"),
+        F.sum("value").alias("p_sum"),
+        F.min("value").alias("p_min"),
+        F.max("value").alias("p_max"),
+        F.sort_array(F.collect_list("value")).alias("p_vals"),
+    )
+    merged = partial.groupBy("conv_id", "w", "metric").agg(
+        F.sum("p_cnt").alias("cnt"),
+        F.sum("p_sum").alias("sum"),
+        F.min("p_min").alias("min"),
+        F.max("p_max").alias("max"),
+        F.sort_array(F.flatten(F.collect_list("p_vals"))).alias("vals"),
+    )
+
+    def exact_pct(vals: Column, cnt: Column, p: float) -> Column:
+        # linear interpolation on sorted array: pos = p*(n-1); 1-based element_at
+        pos = F.lit(p) * (cnt - 1).cast("double")
+        lo = F.floor(pos).cast("int")
+        frac = pos - lo.cast("double")
+        a = F.element_at(vals, lo + 1)
+        b = F.element_at(vals, F.least(lo + F.lit(2), cnt.cast("int")))
+        return a + frac * (b - a)
+
+    return merged.select(
+        "conv_id",
+        F.col("w.start").alias("bucket_start"),
+        "metric",
+        "cnt",
+        "sum",
+        (F.col("sum") / F.col("cnt")).alias("mean"),
+        "min",
+        "max",
+        exact_pct(F.col("vals"), F.col("cnt"), 0.5).alias("p50"),
+        exact_pct(F.col("vals"), F.col("cnt"), 0.99).alias("p99"),
+    )
+
+
+def coarsen_partials(fine: DataFrame, tier: str) -> DataFrame:
+    """Hierarchical re-aggregation: 1h/1d moments from 1m partials.
+
+    cnt/sum/min/max compose exactly; mean = Σsum/Σcnt. Exact percentiles do
+    NOT compose from per-bucket percentiles, so this path emits p50/p99 as
+    NULL — callers that need exact coarse-tier percentiles use ``rollup``
+    over raw (one extra scan) or the salted array-merge path. This is the
+    cheap maintenance path at 100 TB: it never rereads raw data.
+    """
+    from .schema import TIER_SECONDS
+
+    secs = TIER_SECONDS[tier]
+    bucket = F.timestamp_seconds(
+        (F.unix_seconds("bucket_start") / secs).cast("long") * secs
+    ).alias("bucket_start")
+    return (
+        fine.groupBy("conv_id", bucket, "metric")
+        .agg(
+            F.sum("cnt").alias("cnt"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+        .select(
+            "conv_id",
+            "bucket_start",
+            "metric",
+            "cnt",
+            "sum",
+            (F.col("sum") / F.col("cnt")).alias("mean"),
+            "min",
+            "max",
+            F.lit(None).cast("double").alias("p50"),
+            F.lit(None).cast("double").alias("p99"),
+        )
+    )
+
+
+def rollup_tiers(df: DataFrame, exact_percentiles: bool = True) -> dict[str, DataFrame]:
+    """All three retention tiers from one derived-metrics DataFrame.
+
+    exact_percentiles=True → each tier aggregates from raw (percentiles exact
+    everywhere; 3 shuffles over a shared scan). False → 1m from raw, 1h/1d
+    via coarsen_partials (single raw scan; coarse percentiles NULL).
+    """
+    derived = with_derived_metrics(df)
+    out = {"1m": rollup(derived, "1m")}
+    if exact_percentiles:
+        out["1h"] = rollup(derived, "1h")
+        out["1d"] = rollup(derived, "1d")
+    else:
+        out["1h"] = coarsen_partials(out["1m"], "1h")
+        out["1d"] = coarsen_partials(out["1h"], "1d")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Positional segment operators — direct equivalents of the reference's
+# Resampling family, over (conv_id, order_col, value).
+# ---------------------------------------------------------------------------
+
+
+def _rn(order_col: str) -> tuple[Window, Column]:
+    w = Window.partitionBy("conv_id").orderBy(order_col)
+    return w, F.row_number().over(w) - 1  # 0-based position == array index
+
+
+def downsample(df: DataFrame, factor: int, value_col: str, order_col: str = "turn_idx") -> DataFrame:
+    """Keep every k-th sample: result[i] = signal[i*factor]
+    (Resampling.cs:41-55). Narrow filter after one per-conv window pass."""
+    if factor <= 0:
+        raise ValueError("factor must be positive")
+    _, rn = _rn(order_col)
+    return (
+        df.withColumn("_rn", rn)
+        .where(F.col("_rn") % factor == 0)
+        .select("conv_id", (F.col("_rn") / factor).cast("long").alias("pos"), F.col(value_col).alias("value"))
+    )
+
+
+def segment_agg(df: DataFrame, factor: int, value_col: str, order_col: str = "turn_idx") -> DataFrame:
+    """Tumbling positional segments of `factor` points; the last segment may
+    be partial (Resampling.cs:101-118 `end = min(start+factor, n)`).
+
+    Emits mean/median/min/max per segment — the union of SegmentMean (:101),
+    SegmentMedian (:85, exact median), SegmentMax (:128), SegmentMin (:155).
+    """
+    if factor <= 0:
+        raise ValueError("factor must be positive")
+    _, rn = _rn(order_col)
+    v = F.col(value_col).cast("double")
+    return (
+        df.withColumn("_rn", rn)
+        .groupBy("conv_id", (F.col("_rn") / factor).cast("long").alias("seg"))
+        .agg(
+            F.avg(v).alias("seg_mean"),
+            F.percentile(v, F.lit(0.5)).alias("seg_median"),
+            F.min(v).alias("seg_min"),
+            F.max(v).alias("seg_max"),
+            F.count(v).alias("seg_cnt"),
+        )
+    )
