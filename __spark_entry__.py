@@ -1,38 +1,220 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship tiered rollup on sf0.001;
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for each (same column names,
+doubles rounded to 6 dp on BOTH sides so value-hashes compare stably).
+
+The engine's native input is a transcripts table (conv_id, turn_idx, role,
+text, tool, ts). The driver's testdata has no transcripts table, so queries
+run over a deterministic transcripts-shaped projection of ``events``
+(FIXTURES.md A.3): conv_id = user_id, turn order = (ts, event_id), text =
+props, plus events.value as a generic numeric signal.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# --- shared projection ------------------------------------------------------
+
+# DuckDB CTEs defining the same transcripts projection used by the Spark side.
+_T_SQL = """
+t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         event_type AS role, props AS text, event_type AS tool, ts, value
+  FROM events
+)
+"""
+
+_D_SQL = """
+d AS (
+  SELECT conv_id, turn_idx, ts, value,
+         cast(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS double) AS token_count,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)) / 1000000.0 AS latency_s
+  FROM t
+)
+"""
+
+_LONG_SQL = """
+l AS (
+  SELECT conv_id, ts, 'token_count' AS metric, token_count AS value FROM d
+  UNION ALL
+  SELECT conv_id, ts, 'latency_s' AS metric, latency_s AS value FROM d WHERE latency_s IS NOT NULL
+)
+"""
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → transcripts(conv_id, turn_idx, role, text, tool, ts) [+ value]."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        F.col("props").alias("text"),
+        F.col("event_type").alias("tool"),
+        "ts",
+        "value",
+    )
+
+
+def _signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(conv_id, turn_idx, ts, value) — events.value as the per-series signal."""
+    return _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts", "value")
+
+
+def _round6(df: DataFrame, *cols: str) -> DataFrame:
+    """Round doubles to 6 dp with an EXPLICIT half-up convention.
+
+    Spark's round() is HALF_UP but DuckDB's is half-even, so exact halves
+    (binary fractions like x.xx78125) would hash-mismatch; floor(x*1e6+0.5)
+    evaluates identically in both engines."""
+    for c in cols:
+        v = F.col(c).cast("double")
+        df = df.withColumn(c, F.floor(v * 1e6 + F.lit(0.5)) / 1e6)
+    return df
+
+
+def _r6(expr: str, alias: str) -> str:
+    """The DuckDB-side twin of _round6."""
+    return f"floor(({expr}) * 1000000 + 0.5) / 1000000.0 AS {alias}"
+
+
+_ROLLUP_CORE = "cnt bigint, sum double, mean double, min double, max double, p50 double, p99 double"
+
+
+# --- queries ----------------------------------------------------------------
+
+
+def _q_rollup(tier: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from transcriptts.rollup import rollup, with_derived_metrics
+
+        r = rollup(with_derived_metrics(_transcripts(spark, sf_dir)), tier)
+        return _round6(r, "sum", "mean", "min", "max", "p50", "p99")
+
+    return q
+
+
+def _sql_rollup(trunc: str) -> str:
+    return f"""
+WITH {_T_SQL}, {_D_SQL}, {_LONG_SQL}
+SELECT conv_id, cast(date_trunc('{trunc}', ts) AS timestamp) AS bucket_start, metric,
+       count(*) AS cnt, {_r6('sum(value)', 'sum')}, {_r6('avg(value)', 'mean')},
+       {_r6('min(value)', 'min')}, {_r6('max(value)', 'max')},
+       {_r6('quantile_cont(value, 0.5)', 'p50')}, {_r6('quantile_cont(value, 0.99)', 'p99')}
+FROM l GROUP BY 1, 2, 3
+"""
+
+
+def _q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.rollup import downsample
+
+    return downsample(_signal(spark, sf_dir), 4, "value")
+
+
+_SQL_DOWNSAMPLE = f"""
+WITH {_T_SQL}
+SELECT conv_id, cast(turn_idx // 4 AS bigint) AS pos, value
+FROM t WHERE turn_idx % 4 = 0
+"""
+
+
+def _q_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.rollup import segment_agg
+
+    s = segment_agg(_signal(spark, sf_dir), 8, "value")
+    return _round6(s, "seg_mean", "seg_median", "seg_min", "seg_max")
+
+
+_SQL_SEGMENT_STATS = f"""
+WITH {_T_SQL}
+SELECT conv_id, cast(turn_idx // 8 AS bigint) AS seg,
+       {_r6('avg(value)', 'seg_mean')}, {_r6('quantile_cont(value, 0.5)', 'seg_median')},
+       {_r6('min(value)', 'seg_min')}, {_r6('max(value)', 'seg_max')}, count(*) AS seg_cnt
+FROM t GROUP BY 1, 2
+"""
+
+
+def _hourly_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h rollup of events.value per user — input for the gap-fill queries."""
+    t = _transcripts(spark, sf_dir)
+    return (
+        t.groupBy("conv_id", F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("value").alias("cnt"), F.avg("value").alias("mean"))
+        .select("conv_id", F.col("w.start").alias("bucket_start"), F.lit("value").alias("metric"), "cnt", "mean")
+    )
+
+
+def _q_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.gapfill import gapfill
+
+    g = gapfill(_hourly_value_rollup(spark, sf_dir), "1h", ("mean",), mode="both")
+    out = g.select("conv_id", "bucket_start", "is_gap", "mean_locf", "mean_interp")
+    return _round6(out, "mean_locf", "mean_interp")
+
+
+_SQL_GAPFILL = f"""
+WITH {_T_SQL},
+r AS (SELECT conv_id, date_trunc('hour', ts) AS b, count(*) AS cnt, avg(value) AS mean FROM t GROUP BY 1, 2),
+s AS (SELECT conv_id, min(b) AS bmin, max(b) AS bmax FROM r GROUP BY 1),
+g AS (SELECT conv_id, unnest(generate_series(bmin, bmax, interval 1 hour)) AS b FROM s),
+j AS (SELECT g.conv_id, g.b, r.mean FROM g LEFT JOIN r ON r.conv_id = g.conv_id AND r.b = g.b)
+SELECT conv_id, b AS bucket_start, mean IS NULL AS is_gap,
+       {_r6('last_value(mean IGNORE NULLS) OVER w_back', 'mean_locf')},
+       {_r6('''CASE WHEN mean IS NOT NULL THEN mean ELSE
+         last_value(mean IGNORE NULLS) OVER w_back
+         + (epoch(b) - last_value(CASE WHEN mean IS NOT NULL THEN epoch(b) END IGNORE NULLS) OVER w_back)
+           / (first_value(CASE WHEN mean IS NOT NULL THEN epoch(b) END IGNORE NULLS) OVER w_fwd
+              - last_value(CASE WHEN mean IS NOT NULL THEN epoch(b) END IGNORE NULLS) OVER w_back)
+           * (first_value(mean IGNORE NULLS) OVER w_fwd - last_value(mean IGNORE NULLS) OVER w_back)
+       END''', 'mean_interp')}
+FROM j
+WINDOW w_back AS (PARTITION BY conv_id ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+       w_fwd AS (PARTITION BY conv_id ORDER BY b ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --- contract ---------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tiered 1m rollup of token_count + inter-turn latency over the
+    transcripts projection of sf0.001 events."""
+    from transcriptts.rollup import rollup_tiers
+
+    tiers = rollup_tiers(_transcripts(spark, "/root/testdata/sf0.001"))
+    return tiers["1m"]
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rollup_1m": _q_rollup("1m"),
+        "rollup_1h": _q_rollup("1h"),
+        "rollup_1d": _q_rollup("1d"),
+        "downsample_k4": _q_downsample,
+        "segment_stats_k8": _q_segment_stats,
+        "gapfill_locf_interp_1h": _q_gapfill,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "rollup_1m": _sql_rollup("minute"),
+        "rollup_1h": _sql_rollup("hour"),
+        "rollup_1d": _sql_rollup("day"),
+        "downsample_k4": _SQL_DOWNSAMPLE,
+        "segment_stats_k8": _SQL_SEGMENT_STATS,
+        "gapfill_locf_interp_1h": _SQL_GAPFILL,
+    }

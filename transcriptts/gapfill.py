@@ -65,7 +65,7 @@ def gapfill(
     w = Window.partitionBy("conv_id", "metric").orderBy("bucket_start")
     back = w.rowsBetween(Window.unboundedPreceding, 0)
     fwd = w.rowsBetween(0, Window.unboundedFollowing)
-    t = F.unix_seconds("bucket_start").cast("double")
+    t = F.unix_seconds(F.col("bucket_start").cast("timestamp")).cast("double")
 
     out = dense
     for c in value_cols:

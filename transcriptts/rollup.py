@@ -44,7 +44,10 @@ def with_derived_metrics(df: DataFrame) -> DataFrame:
     a single window, evaluated in one shuffle by (conv_id).
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    lat_us = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)
+    # parquet timestamps may load as TIMESTAMP_NTZ; unix_micros needs LTZ —
+    # session tz is pinned to UTC so the cast is wall-clock-preserving.
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    lat_us = ts_us - F.lag(ts_us).over(w)
     return df.withColumn("token_count", token_count_col()).withColumn(
         "latency_s", (lat_us / F.lit(1_000_000.0)).cast("double")
     )
@@ -164,9 +167,14 @@ def coarsen_partials(fine: DataFrame, tier: str) -> DataFrame:
     from .schema import TIER_SECONDS
 
     secs = TIER_SECONDS[tier]
-    bucket = F.timestamp_seconds(
-        (F.unix_seconds("bucket_start") / secs).cast("long") * secs
-    ).alias("bucket_start")
+    in_type = dict(fine.dtypes)["bucket_start"]
+    bucket = (
+        F.timestamp_seconds(
+            (F.unix_seconds(F.col("bucket_start").cast("timestamp")) / secs).cast("long") * secs
+        )
+        .cast(in_type)  # keep NTZ inputs NTZ (UTC session → same wall clock)
+        .alias("bucket_start")
+    )
     return (
         fine.groupBy("conv_id", bucket, "metric")
         .agg(
