@@ -186,6 +186,74 @@ WINDOW w_back AS (PARTITION BY conv_id ORDER BY b ROWS BETWEEN UNBOUNDED PRECEDI
 """
 
 
+# --- smoothing (SURVEY §2.2) -------------------------------------------------
+
+
+def _q_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.smooth import sma_window
+
+    return _round6(sma_window(_signal(spark, sf_dir), 5), "value")
+
+
+_SQL_SMA = f"""
+WITH {_T_SQL},
+w AS (
+  SELECT conv_id, turn_idx,
+         avg(value) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS v,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM t
+)
+SELECT conv_id, cast(turn_idx AS bigint) AS pos, {_r6('v', 'value')}
+FROM w WHERE turn_idx <= n - 5
+"""
+
+
+def _q_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.smooth import smooth
+
+    return _round6(smooth(_signal(spark, sf_dir), "wma", weights=[0.1, 0.3, 0.6]), "value")
+
+
+_SQL_WMA = f"""
+WITH {_T_SQL},
+w AS (
+  SELECT conv_id, turn_idx,
+         0.1 * value + 0.3 * lead(value, 1) OVER o + 0.6 * lead(value, 2) OVER o AS v,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM t WINDOW o AS (PARTITION BY conv_id ORDER BY turn_idx)
+)
+SELECT conv_id, cast(turn_idx AS bigint) AS pos, {_r6('v', 'value')}
+FROM w WHERE turn_idx <= n - 3
+"""
+
+
+def _q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.smooth import smooth
+
+    return _round6(smooth(_signal(spark, sf_dir), "ema", alpha=0.5), "value")
+
+
+# EMA is a per-series recursion; DuckDB reproduces it by folding each prefix
+# of the ordered value list (list_reduce seeds with the first element, which
+# matches ema[0] = x[0]).
+_SQL_EMA = f"""
+WITH {_T_SQL},
+s AS (SELECT conv_id, list(value ORDER BY turn_idx) AS vs FROM t GROUP BY conv_id)
+SELECT conv_id, cast(i - 1 AS bigint) AS pos,
+       {_r6('list_reduce(vs[1:i], (acc, x) -> 0.5 * x + 0.5 * acc)', 'value')}
+FROM s, unnest(generate_series(1, len(vs))) AS u(i)
+"""
+
+
+def _q_savgol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.smooth import smooth
+
+    return _round6(
+        smooth(_signal(spark, sf_dir), "savgol", window_length=5, poly_order=2), "value"
+    )
+
+
 # --- contract ---------------------------------------------------------------
 
 
@@ -206,6 +274,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_k4": _q_downsample,
         "segment_stats_k8": _q_segment_stats,
         "gapfill_locf_interp_1h": _q_gapfill,
+        "sma_w5": _q_sma,
+        "wma_w3": _q_wma,
+        "ema_a05": _q_ema,
+        "savgol_w5_p2": _q_savgol,
     }
 
 
@@ -217,4 +289,10 @@ def oracle_sql() -> dict[str, str]:
         "downsample_k4": _SQL_DOWNSAMPLE,
         "segment_stats_k8": _SQL_SEGMENT_STATS,
         "gapfill_locf_interp_1h": _SQL_GAPFILL,
+        "sma_w5": _SQL_SMA,
+        "wma_w3": _SQL_WMA,
+        "ema_a05": _SQL_EMA,
+        # savgol_w5_p2: edge polynomial re-fit + middle restore is not
+        # SQL-expressible → rows-only check; golden parity covered in
+        # tests/test_kernels_smoothing.py::test_savgol_golden_middle_restore
     }
