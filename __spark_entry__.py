@@ -254,6 +254,98 @@ def _q_savgol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- changepoints (SURVEY §2.3/§2.4) — not SQL-expressible → rows-only -------
+
+
+def _standardized_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation z-scored events.value (so CUSUM defaults make sense)."""
+    s = _signal(spark, sf_dir)
+    w = Window.partitionBy("conv_id")
+    return s.select(
+        "conv_id",
+        "turn_idx",
+        ((F.col("value") - F.avg("value").over(w)) / F.stddev_pop("value").over(w)).alias("value"),
+    )
+
+
+def _q_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.detect import detect_changepoints
+
+    return detect_changepoints(_standardized_signal(spark, sf_dir), penalty=10.0, cost="l2", min_size=3)
+
+
+def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.detect import detect_cusum
+
+    return detect_cusum(_standardized_signal(spark, sf_dir), threshold_factor=3.0)
+
+
+def _q_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.detect import detect_changepoints, segment_stats
+
+    s = _standardized_signal(spark, sf_dir)
+    bps = detect_changepoints(s, penalty=10.0, cost="l2", min_size=3)
+    out = segment_stats(s, bps)
+    return _round6(out, "seg_mean", "seg_min", "seg_max", "seg_var")
+
+
+def _q_penalty_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.detect import select_penalties
+
+    out = select_penalties(
+        _signal(spark, sf_dir), cost="gaussian", method="bic", min_size=3, num_steps=20
+    ).select("conv_id", "selected_penalty", "n_breakpoints")
+    return _round6(out, "selected_penalty")
+
+
+# --- forecasting (SURVEY §2.5) -----------------------------------------------
+
+
+def _q_ses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.forecast import forecast
+
+    return _round6(forecast(_signal(spark, sf_dir), 3, "ses", alpha=0.3), "yhat")
+
+
+# SES fold: level starts at x[0] and the loop consumes x[0] again → prepend
+# vs[1] so list_reduce's seed models L0 and the fold sees every point.
+_SQL_SES = f"""
+WITH {_T_SQL},
+s AS (SELECT conv_id, list(value ORDER BY turn_idx) AS vs FROM t GROUP BY conv_id)
+SELECT conv_id, cast(h AS int) AS h,
+       {_r6('list_reduce(list_prepend(vs[1], vs), (acc, x) -> 0.3 * x + 0.7 * acc)', 'yhat')}
+FROM s, unnest(generate_series(1, 3)) AS u(h)
+"""
+
+
+def _q_linear_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.forecast import forecast
+
+    return _round6(forecast(_signal(spark, sf_dir), 3, "linear"), "yhat")
+
+
+# forecast anchored at the LAST OBSERVED VALUE (LinearExtrapolator.cs:110-124)
+_SQL_LINEAR = f"""
+WITH {_T_SQL},
+s AS (
+  SELECT conv_id, regr_slope(value, turn_idx) AS slope,
+         arg_max(value, turn_idx) AS last_v, count(*) AS n
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id, cast(h AS int) AS h, {_r6('last_v + slope * h', 'yhat')}
+FROM s, unnest(generate_series(1, 3)) AS u(h)
+WHERE n >= 2
+"""
+
+
+def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.forecast import forecast
+
+    return _round6(
+        forecast(_signal(spark, sf_dir), 3, "holt", alpha=0.5, beta=0.5), "yhat"
+    )
+
+
 # --- contract ---------------------------------------------------------------
 
 
@@ -278,6 +370,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wma_w3": _q_wma,
         "ema_a05": _q_ema,
         "savgol_w5_p2": _q_savgol,
+        "pelt_l2": _q_pelt,
+        "cusum_z3": _q_cusum,
+        "pelt_segment_stats": _q_pelt_segments,
+        "penalty_selection_bic": _q_penalty_selection,
+        "ses_forecast_a03": _q_ses,
+        "linear_forecast": _q_linear_forecast,
+        "holt_forecast": _q_holt,
     }
 
 
@@ -292,7 +391,14 @@ def oracle_sql() -> dict[str, str]:
         "sma_w5": _SQL_SMA,
         "wma_w3": _SQL_WMA,
         "ema_a05": _SQL_EMA,
+        "ses_forecast_a03": _SQL_SES,
+        "linear_forecast": _SQL_LINEAR,
         # savgol_w5_p2: edge polynomial re-fit + middle restore is not
         # SQL-expressible → rows-only check; golden parity covered in
         # tests/test_kernels_smoothing.py::test_savgol_golden_middle_restore
+        # pelt_l2 / cusum_z3 / pelt_segment_stats / penalty_selection_bic:
+        # sequential DP / stateful scans — rows-only; goldens in
+        # tests/test_kernels_detect.py
+        # holt_forecast: two-state recursion — rows-only; goldens in
+        # tests/test_kernels_forecast.py
     }

@@ -1,0 +1,193 @@
+"""Golden tests for PELT / CUSUM / cost functions — expectations ported from
+SignalSharp.Tests/Detection/* and SignalSharp.Tests/CostFunctions/*."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from transcriptts.kernels import costs as C
+from transcriptts.kernels.cusum import cusum
+from transcriptts.kernels.pelt import pelt, select_penalty
+
+STEP = [1.0, 1, 1, 5, 5, 5, 1, 1, 1]
+
+
+# --- PELT (PELTTests.cs) -----------------------------------------------------
+
+
+def test_pelt_l2_step_signal():
+    assert pelt(STEP, penalty=2.0, cost="l2") == [3, 6]  # PELTTests.cs:35-54
+
+
+def test_pelt_rbf_step_signal():
+    assert pelt(STEP, penalty=0.1, cost="rbf") == [3, 6]  # :118-137
+
+
+@pytest.fixture(scope="module")
+def long_pattern():
+    return np.tile([1, 1, 1, 5, 5, 5, 1, 1, 1, 2, 2, 3, 4, 2, 1], 100).astype(float)
+
+
+def test_pelt_rbf_long_jump5(long_pattern):
+    # :94-115 — approximate mode, Jump=5, MinSize=2, penalty=10 → [1496,1498]
+    assert pelt(long_pattern, penalty=10.0, cost="rbf", min_size=2, jump=5) == [1496, 1498]
+
+
+def test_pelt_rbf_long_exact_no_breaks(long_pattern):
+    assert pelt(long_pattern, penalty=10.0, cost="rbf", min_size=2, jump=1) == []  # :75-91
+
+
+def test_pelt_short_signal_guards():
+    assert pelt([1.0], penalty=1.0) == []
+    assert pelt([1.0, 5.0, 1.0], penalty=1.0, min_size=2) == []  # n < 2*MinSize
+
+
+def test_pelt_gaussian_variance_change():
+    rng = np.random.default_rng(0)
+    x = np.concatenate([rng.normal(0, 0.1, 50), rng.normal(0, 5.0, 50)])
+    assert pelt(x, penalty=20.0, cost="gaussian", min_size=5) == [50]
+
+
+def test_pelt_negative_penalty_rejected():
+    with pytest.raises(ValueError):
+        pelt(STEP, penalty=-1.0)
+
+
+# --- CUSUM (CUSUMTests.cs) ---------------------------------------------------
+
+
+def test_cusum_doc_example():
+    # CUSUMAlgorithm.cs:46-58 doc example
+    sig = [0.2, 0.1, 0.2, 4.0, 0.1, 0.2, -2.0, 0.2, 0.1]
+    assert cusum(sig, expected_mean=0.2, expected_std_dev=1.0, slack_factor=0.1, threshold_factor=1.2) == [3, 6]
+
+
+def test_cusum_spike_defaults():
+    assert cusum([0.1, 0.2, 10.0, -10.0, 0.1, 0.2]) == [2, 3]  # CUSUMTests.cs:175-186
+
+
+def test_cusum_short_and_validation():
+    assert cusum([1.0]) == []
+    with pytest.raises(ValueError):
+        cusum([1.0, 2.0], expected_std_dev=0.0)
+
+
+# --- cost functions (CostFunctionTests) --------------------------------------
+
+
+def test_gaussian_cost_variance_floor():
+    # GaussianLikelihoodCostFunctionTests.cs:104-126 — zero-variance segments
+    c = C.GaussianCost().fit([1.0, 1, 1, 5, 5, 5])
+    assert c.cost(0, 3) == pytest.approx(3 * math.log(1e-10), abs=1e-9)
+    assert c.cost(3, 6) == pytest.approx(3 * math.log(1e-10), abs=1e-9)
+
+
+def test_gaussian_cost_whole_signal():
+    # :128-137 — n=6, SSE=24, varMLE=4 → 6*ln(4)
+    c = C.GaussianCost().fit([1.0, 1, 1, 5, 5, 5])
+    assert c.cost(0, 6) == pytest.approx(6 * math.log(4.0), abs=1e-9)
+
+
+def test_l2_cost():
+    c = C.L2Cost().fit([1.0, 1, 1, 5, 5, 5])
+    assert c.cost(0, 3) == pytest.approx(0.0, abs=1e-12)
+    assert c.cost(0, 6) == pytest.approx(24.0, abs=1e-9)  # SSE around mean 3
+
+
+def test_l1_cost():
+    c = C.L1Cost().fit([1.0, 2, 9, 4, 5])
+    seg = np.array([1.0, 2, 9, 4, 5])
+    assert c.cost(0, 5) == pytest.approx(np.abs(seg - 4.0).sum(), abs=1e-12)
+
+
+def test_poisson_cost_zero_segment():
+    # PoissonLikelihoodCostFunction.cs:147-150 doc example
+    c = C.PoissonCost().fit([0.0, 0, 0, 5, 5])
+    assert c.cost(0, 3) == 0.0
+    S, n = 10.0, 2
+    assert c.cost(3, 5) == pytest.approx(2 * (S - S * math.log(S) + S * math.log(n)), abs=1e-9)
+
+
+def test_poisson_rejects_negative():
+    with pytest.raises(ValueError):
+        C.PoissonCost().fit([1.0, -0.5])
+
+
+def test_bernoulli_cost():
+    c = C.BernoulliCost().fit([0.0, 0, 1, 1, 1, 0])
+    assert c.cost(0, 2) == 0.0  # all zeros
+    assert c.cost(2, 5) == 0.0  # all ones
+    S, F_, n = 3.0, 3.0, 6
+    expected = -2 * (S * math.log(S) + F_ * math.log(F_) - n * math.log(n))
+    assert c.cost(0, 6) == pytest.approx(expected, abs=1e-9)
+    with pytest.raises(ValueError):
+        C.BernoulliCost().fit([0.0, 0.5])
+
+
+def test_binomial_cost():
+    k = [2.0, 3, 1, 0]
+    t = [5.0, 5, 5, 5]
+    c = C.BinomialCost().fit(np.array([k, t]))
+    K, N = 6.0, 20.0
+    expected = -(K * math.log(K) + (N - K) * math.log(N - K) - N * math.log(N))
+    assert c.cost(0, 4) == pytest.approx(expected, abs=1e-9)
+    assert c.cost(3, 4) == 0.0  # K == 0
+    with pytest.raises(ValueError):
+        C.BinomialCost().fit([1.0, 2.0])  # not 2 rows
+
+
+def test_ar_cost_constant_with_intercept_is_inf():
+    c = C.ARCost(order=1).fit([5.0] * 10)
+    assert c.cost(0, 10) == np.inf  # collinearity (ARCostFunction.cs:35)
+
+
+def test_ar_cost_matches_lstsq_rss():
+    rng = np.random.default_rng(7)
+    x = np.zeros(60)
+    for t in range(1, 60):
+        x[t] = 0.6 * x[t - 1] + rng.normal()
+    c = C.ARCost(order=1).fit(x)
+    A = np.column_stack([np.ones(59), x[:-1]])
+    resid = x[1:] - A @ np.linalg.lstsq(A, x[1:], rcond=None)[0]
+    rss = float(resid @ resid)
+    assert c.cost(0, 60) == pytest.approx(rss, abs=1e-9)
+    assert c.likelihood_metric(0, 60) == pytest.approx(59 * math.log(rss / 59), abs=1e-9)
+    assert c.segment_param_count(10) == 3  # p + variance + intercept
+    with pytest.raises(ValueError):
+        c.cost(0, 2)  # below min segment length max(p+1, 2p+1)=3
+
+
+def test_param_counts():
+    g = C.GaussianCost().fit(np.zeros((2, 10)))
+    assert g.segment_param_count(5) == 4  # 2 per dimension
+    p = C.PoissonCost().fit(np.zeros((2, 10)))
+    assert p.segment_param_count(5) == 2
+    b = C.BinomialCost().fit(np.array([[1.0, 2], [3.0, 3]]))
+    assert b.segment_param_count(5) == 1
+
+
+# --- penalty selection (PELTPenaltySelectorTests.cs) -------------------------
+
+
+def test_select_penalty_bic_recovers_step():
+    x = np.concatenate([np.full(30, 0.0), np.full(30, 8.0), np.full(30, -3.0)])
+    x += np.sin(np.arange(90)) * 0.1  # break exact-constant degeneracy
+    res = select_penalty(x, cost="gaussian", method="bic", min_size=2)
+    assert res.breakpoints == [30, 60]
+    assert res.selected_penalty > 0
+    assert len(res.diagnostics) > 10
+
+
+def test_select_penalty_rejects_non_ic_cost():
+    with pytest.raises(ValueError):
+        select_penalty(STEP, cost="l2")
+
+
+@pytest.mark.parametrize("method", ["aic", "aicc"])
+def test_select_penalty_other_methods(method):
+    x = np.concatenate([np.full(25, 1.0), np.full(25, 9.0)]) + np.cos(np.arange(50)) * 0.2
+    res = select_penalty(x, cost="gaussian", method=method, min_size=2)
+    assert res.breakpoints == [25]

@@ -1,0 +1,390 @@
+"""PELT segment cost functions (numpy) — reference-parity layer.
+
+All operate on a (D, N) float matrix (row = dimension, column = time point),
+matching the reference layout (PELTAlgorithm.cs:33). Each class mirrors one
+IPELTCostFunction implementation; likelihood ones expose the metric and
+per-segment parameter count used by BIC/AIC/AICc penalty selection
+(ILikelihoodCostFunction.cs:26-50).
+
+Deliberate divergences from the reference (documented, value-identical):
+- L1 computes each segment's medians on demand (O(n) per call) instead of
+  precomputing all O(n^2) segment medians (L1CostFunction.cs:149-167) — same
+  numbers, sane complexity;
+- AR solves the OLS system with numpy normal equations instead of hand-rolled
+  Gaussian elimination (MatrixOperations.cs:300-318) — same solution within
+  the library's 1e-9 test epsilon.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..constants import (
+    DEFAULT_EPSILON,
+    RBF_EXPONENT_MAX,
+    RBF_EXPONENT_MIN,
+    VARIANCE_EPSILON,
+)
+
+
+def as_matrix(signal) -> np.ndarray:
+    """1D -> 1xN lift (CostFunctionBase.cs:32-42); 2D passed through."""
+    x = np.asarray(signal, dtype=np.float64)
+    if x.ndim == 1:
+        return x[None, :]
+    if x.ndim == 2:
+        return x
+    raise ValueError("signal must be 1- or 2-dimensional")
+
+
+class CostFunction:
+    supports_ic = False
+
+    def fit(self, signal) -> "CostFunction":
+        raise NotImplementedError
+
+    def cost(self, start: int, end: int) -> float:
+        raise NotImplementedError
+
+    def likelihood_metric(self, start: int, end: int) -> float:
+        raise NotImplementedError(f"{type(self).__name__} has no likelihood metric")
+
+    def segment_param_count(self, segment_length: int) -> int:
+        raise NotImplementedError
+
+    def min_segment_length(self) -> int:
+        return 1
+
+    def _check(self, start: int, end: int, n: int) -> int:
+        if start < 0 or end > n:
+            raise ValueError(f"segment [{start}, {end}) out of bounds for n={n}")
+        length = end - start
+        if length < 1:
+            raise ValueError("segment length must be >= 1")
+        return length
+
+
+class L2Cost(CostFunction):
+    """SSE around the segment mean: sum(x^2) - sum(x)^2/n per dimension
+    (L2CostFunction.cs:105-139, prefix sums :56-79)."""
+
+    def fit(self, signal):
+        x = as_matrix(signal)
+        z = np.zeros((x.shape[0], 1))
+        self._s = np.hstack([z, np.cumsum(x, axis=1)])
+        self._s2 = np.hstack([z, np.cumsum(x * x, axis=1)])
+        self._n = x.shape[1]
+        return self
+
+    def cost(self, start, end):
+        length = self._check(start, end, self._n)
+        seg_sum = self._s[:, end] - self._s[:, start]
+        seg_sum2 = self._s2[:, end] - self._s2[:, start]
+        return float(np.sum(seg_sum2 - seg_sum * seg_sum / length))
+
+
+class L1Cost(CostFunction):
+    """Sum of absolute deviations from the segment median per dimension
+    (L1CostFunction.cs:89-115); medians computed on demand."""
+
+    def fit(self, signal):
+        self._x = as_matrix(signal)
+        self._n = self._x.shape[1]
+        return self
+
+    def cost(self, start, end):
+        self._check(start, end, self._n)
+        seg = self._x[:, start:end]
+        med = np.median(seg, axis=1, keepdims=True)
+        return float(np.abs(seg - med).sum())
+
+
+class RBFCost(CostFunction):
+    """Kernel cost n - sum(K_seg)/n per dimension (RBFCostFunction.cs:122-142).
+
+    K(i,j) = 1 if d == 0 else exp(-clamp(d * gamma, 1e-2, 1e2)), with
+    d = squared distance per dimension (:258-284). gamma defaults to
+    1/median(strict upper-triangle distances) computed from the FIRST
+    dimension and reused for the rest (the reference's `gamma ??=` at
+    GenerateGramMatrix, :219). O(N^2) memory per series — intended for
+    per-conversation lengths.
+    """
+
+    def __init__(self, gamma: float | None = None, max_points: int = 20000):
+        self._gamma0 = gamma
+        self._max_points = max_points
+
+    def fit(self, signal):
+        x = as_matrix(signal)
+        d, n = x.shape
+        if n > self._max_points:
+            raise ValueError(
+                f"RBF cost is O(N^2); series length {n} exceeds max_points={self._max_points}"
+            )
+        self._n = n
+        gamma = self._gamma0
+        self._sat = np.empty((d, n + 1, n + 1))
+        for dim in range(d):
+            diff = x[dim][:, None] - x[dim][None, :]
+            dist = diff * diff
+            if gamma is None:
+                iu = np.triu_indices(n, k=1)
+                vals = dist[iu]
+                med = float(np.median(vals)) if vals.size else 1.0
+                gamma = 1.0 / med if med != 0.0 else 1.0
+            val = np.clip(dist * gamma, RBF_EXPONENT_MIN, RBF_EXPONENT_MAX)
+            K = np.exp(-val)
+            K[dist == 0] = 1.0
+            sat = np.zeros((n + 1, n + 1))
+            np.cumsum(np.cumsum(K, axis=0), axis=1, out=sat[1:, 1:])
+            self._sat[dim] = sat
+        self.gamma_ = gamma
+        return self
+
+    def cost(self, start, end):
+        length = self._check(start, end, self._n)
+        total = 0.0
+        for dim in range(self._sat.shape[0]):
+            sat = self._sat[dim]
+            s = sat[end, end] - sat[start, end] - sat[end, start] + sat[start, start]
+            total += length - s / length
+        return float(total)
+
+
+class GaussianCost(CostFunction):
+    """n * ln(max(SSE/n, 1e-10)) per dimension — MLE variance with the
+    observable VarianceEpsilon floor (GaussianLikelihoodCostFunction.cs:
+    209-243, Constants.cs:48). Cost == likelihood metric (:132)."""
+
+    supports_ic = True
+
+    def fit(self, signal):
+        x = as_matrix(signal)
+        z = np.zeros((x.shape[0], 1))
+        self._s = np.hstack([z, np.cumsum(x, axis=1)])
+        self._s2 = np.hstack([z, np.cumsum(x * x, axis=1)])
+        self._d, self._n = x.shape
+        return self
+
+    def likelihood_metric(self, start, end):
+        length = self._check(start, end, self._n)
+        seg_sum = self._s[:, end] - self._s[:, start]
+        seg_sum2 = self._s2[:, end] - self._s2[:, start]
+        sse = np.maximum(seg_sum2 - seg_sum * seg_sum / length, 0.0)
+        var = np.maximum(sse / length, VARIANCE_EPSILON)
+        total = float(length * np.log(var).sum())
+        return np.inf if not np.isfinite(total) else total
+
+    cost = likelihood_metric
+
+    def segment_param_count(self, segment_length):
+        return 2 * self._d  # mean + variance per dimension (:166-176)
+
+
+class PoissonCost(CostFunction):
+    """2*(S - S ln S + S ln n) per dimension; S≈0 → 0
+    (PoissonLikelihoodCostFunction.cs:128-150). Inputs must be counts
+    >= -1e-9; tiny negatives clamp to 0 (:110-120)."""
+
+    supports_ic = True
+
+    def fit(self, signal):
+        x = as_matrix(signal)
+        if (x < -DEFAULT_EPSILON).any():
+            raise ValueError("Input data must be non-negative for Poisson likelihood cost")
+        x = np.maximum(x, 0.0)
+        self._s = np.hstack([np.zeros((x.shape[0], 1)), np.cumsum(x, axis=1)])
+        self._d, self._n = x.shape
+        return self
+
+    def likelihood_metric(self, start, end):
+        length = self._check(start, end, self._n)
+        S = self._s[:, end] - self._s[:, start]
+        out = np.where(
+            np.abs(S) <= DEFAULT_EPSILON,
+            0.0,
+            2.0 * (S - S * np.log(np.maximum(S, 1e-300)) + S * np.log(length)),
+        )
+        total = float(out.sum())
+        return np.inf if not np.isfinite(total) else total
+
+    cost = likelihood_metric
+
+    def segment_param_count(self, segment_length):
+        return 1 * self._d  # rate lambda per dimension (:190-200)
+
+
+class BernoulliCost(CostFunction):
+    """-2*(S ln S + (n-S) ln(n-S) - n ln n) per dim; all-0s/all-1s → 0
+    (BernoulliLikelihoodCostFunction.cs:240-265)."""
+
+    supports_ic = True
+
+    def fit(self, signal):
+        x = as_matrix(signal)
+        ok = (np.abs(x) <= DEFAULT_EPSILON) | (np.abs(x - 1) <= DEFAULT_EPSILON)
+        if not ok.all():
+            raise ValueError("Input data must be effectively 0 or 1 for Bernoulli likelihood cost")
+        self._s = np.hstack([np.zeros((x.shape[0], 1)), np.cumsum(x, axis=1)])
+        self._d, self._n = x.shape
+        return self
+
+    def likelihood_metric(self, start, end):
+        length = self._check(start, end, self._n)
+        S = self._s[:, end] - self._s[:, start]
+        F_ = length - S
+        total = 0.0
+        for s, f in zip(S, F_):
+            if abs(s) <= DEFAULT_EPSILON or abs(s - length) <= DEFAULT_EPSILON:
+                continue
+            total += -2.0 * (s * np.log(s) + f * np.log(f) - length * np.log(length))
+        return np.inf if not np.isfinite(total) else float(total)
+
+    cost = likelihood_metric
+
+    def segment_param_count(self, segment_length):
+        return 1 * self._d
+
+
+def _xlogx(x: float) -> float:
+    """0*log(0) == 0 convention (BinomialLikelihoodCostFunction.cs:320)."""
+    return 0.0 if abs(x) <= DEFAULT_EPSILON else x * np.log(x)
+
+
+class BinomialCost(CostFunction):
+    """-(K lnK + (N-K) ln(N-K) - N lnN), K = sum successes, N = sum trials.
+    Input is EXACTLY 2 rows: row 0 = successes k, row 1 = trials n
+    (BinomialLikelihoodCostFunction.cs:73-143). K≈0, K≈N, N≈0 → 0; result
+    floored at 0 (:276-310)."""
+
+    supports_ic = True
+
+    def fit(self, signal):
+        x = as_matrix(signal)
+        if x.shape[0] != 2:
+            raise ValueError("Binomial cost requires exactly 2 rows (successes; trials)")
+        k, t = x[0], x[1]
+        if not (np.abs(k - np.round(k)) <= DEFAULT_EPSILON).all() or not (
+            np.abs(t - np.round(t)) <= DEFAULT_EPSILON
+        ).all():
+            raise ValueError("Binomial inputs must be integers")
+        if (t < 1 - DEFAULT_EPSILON).any() or (k < -DEFAULT_EPSILON).any() or (k > t + DEFAULT_EPSILON).any():
+            raise ValueError("Binomial inputs require 0 <= k <= n and n >= 1")
+        self._sk = np.concatenate([[0.0], np.cumsum(k)])
+        self._st = np.concatenate([[0.0], np.cumsum(t)])
+        self._n = x.shape[1]
+        return self
+
+    def likelihood_metric(self, start, end):
+        self._check(start, end, self._n)
+        K = self._sk[end] - self._sk[start]
+        N = self._st[end] - self._st[start]
+        if abs(N) <= DEFAULT_EPSILON or abs(K) <= DEFAULT_EPSILON or abs(K - N) <= DEFAULT_EPSILON:
+            return 0.0
+        metric = -(_xlogx(K) + _xlogx(N - K) - _xlogx(N))
+        if not np.isfinite(metric):
+            return np.inf
+        return max(0.0, float(metric))
+
+    cost = likelihood_metric
+
+    def segment_param_count(self, segment_length):
+        return 1  # success probability p (:214-225)
+
+
+class ARCost(CostFunction):
+    """AR(p) OLS residual sum of squares (ARCostFunction.cs:133-147).
+
+    cost = RSS; +inf on constant-with-intercept segments or singular systems
+    (:339-352). metric = n_eff * ln(RSS/n_eff), +inf if var < 1e-10
+    (:160-243). Univariate only. Min segment length =
+    max(p+1, 2p + intercept) (:270-277)."""
+
+    supports_ic = True
+
+    def __init__(self, order: int = 1, include_intercept: bool = True):
+        if order < 1:
+            raise ValueError("order must be >= 1")
+        self.order = order
+        self.include_intercept = include_intercept
+
+    def fit(self, signal):
+        x = as_matrix(signal)
+        if x.shape[0] != 1:
+            raise ValueError("AR cost supports univariate signals only")
+        self._x = x[0]
+        self._n = len(self._x)
+        return self
+
+    def min_segment_length(self):
+        p = self.order
+        return max(p + 1, 2 * p + (1 if self.include_intercept else 0))
+
+    def _rss(self, start, end) -> float | None:
+        seg = self._x[start:end]
+        p = self.order
+        n_eq = len(seg) - p
+        if n_eq <= 0:
+            return None
+        if self.include_intercept and np.allclose(seg, seg[0], atol=DEFAULT_EPSILON, rtol=0):
+            return None  # perfect collinearity (:339-349)
+        cols = []
+        if self.include_intercept:
+            cols.append(np.ones(n_eq))
+        for lag in range(1, p + 1):
+            cols.append(seg[p - lag : p - lag + n_eq])
+        A = np.column_stack(cols)
+        y = seg[p:]
+        try:
+            coef = np.linalg.solve(A.T @ A, A.T @ y)  # normal equations, as reference
+        except np.linalg.LinAlgError:
+            return None
+        resid = y - A @ coef
+        rss = float(resid @ resid)
+        return rss if np.isfinite(rss) else None
+
+    def cost(self, start, end):
+        length = self._check(start, end, self._n)
+        if length < self.min_segment_length():
+            raise ValueError(
+                f"AR({self.order}) needs at least {self.min_segment_length()} points, got {length}"
+            )
+        rss = self._rss(start, end)
+        return np.inf if rss is None else rss
+
+    def likelihood_metric(self, start, end):
+        length = self._check(start, end, self._n)
+        if length < self.min_segment_length():
+            raise ValueError(
+                f"AR({self.order}) needs at least {self.min_segment_length()} points, got {length}"
+            )
+        rss = self._rss(start, end)
+        n_eq = length - self.order
+        if rss is None or n_eq <= 0:
+            return np.inf
+        var = rss / n_eq
+        if abs(var) <= VARIANCE_EPSILON:
+            return np.inf
+        metric = n_eq * np.log(var)
+        return np.inf if not np.isfinite(metric) else float(metric)
+
+    def segment_param_count(self, segment_length):
+        return self.order + 1 + (1 if self.include_intercept else 0)  # (:244-252)
+
+
+COSTS = {
+    "l2": L2Cost,
+    "l1": L1Cost,
+    "rbf": RBFCost,
+    "gaussian": GaussianCost,
+    "poisson": PoissonCost,
+    "bernoulli": BernoulliCost,
+    "binomial": BinomialCost,
+    "ar": ARCost,
+}
+
+
+def make_cost(name: str, **params) -> CostFunction:
+    if name not in COSTS:
+        raise ValueError(f"unknown cost function {name!r}; choose from {sorted(COSTS)}")
+    return COSTS[name](**params)
