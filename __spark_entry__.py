@@ -346,6 +346,39 @@ def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- cold-tier compression (north-star addition) ------------------------------
+
+
+def _q_gorilla_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gorilla-encode + decode every per-user value series, then aggregate the
+    DECODED points. The oracle aggregates the RAW table — equality holds iff
+    the compression roundtrip is lossless."""
+    from transcriptts.compress import compress_series, decompress_series
+
+    t = _transcripts(spark, sf_dir).select(
+        "conv_id", F.lit("value").alias("metric"), F.col("ts").alias("bucket_start"),
+        F.col("value").alias("mean"),
+    )
+    back = decompress_series(compress_series(t, value_col="mean", ts_col="bucket_start"))
+    out = back.groupBy("conv_id").agg(
+        F.count("value").alias("cnt"),
+        F.sum("value").alias("sum"),
+        F.min("value").alias("min"),
+        F.max("value").alias("max"),
+        F.min("bucket_start").alias("ts_min"),
+        F.max("bucket_start").alias("ts_max"),
+    )
+    return _round6(out, "sum", "min", "max")
+
+
+_SQL_GORILLA = f"""
+WITH {_T_SQL}
+SELECT conv_id, count(*) AS cnt, {_r6('sum(value)', 'sum')}, {_r6('min(value)', 'min')},
+       {_r6('max(value)', 'max')}, min(ts) AS ts_min, max(ts) AS ts_max
+FROM t GROUP BY conv_id
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 
@@ -377,6 +410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ses_forecast_a03": _q_ses,
         "linear_forecast": _q_linear_forecast,
         "holt_forecast": _q_holt,
+        "gorilla_roundtrip_agg": _q_gorilla_roundtrip,
     }
 
 
@@ -393,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "ema_a05": _SQL_EMA,
         "ses_forecast_a03": _SQL_SES,
         "linear_forecast": _SQL_LINEAR,
+        "gorilla_roundtrip_agg": _SQL_GORILLA,
         # savgol_w5_p2: edge polynomial re-fit + middle restore is not
         # SQL-expressible → rows-only check; golden parity covered in
         # tests/test_kernels_smoothing.py::test_savgol_golden_middle_restore
