@@ -379,6 +379,225 @@ FROM t GROUP BY conv_id
 """
 
 
+# --- training-data pipeline ops (documents / embeddings) ----------------------
+
+_BPE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+
+
+def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.datapipe import with_text_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_text_stats(docs).select(
+        "doc_id", "token_count", "bpe_token_count", "char_count", "punct_ratio", "alpha_ratio"
+    )
+    return _round6(out, "punct_ratio", "alpha_ratio")
+
+
+_PUNCT_R6 = _r6(
+    "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text)",
+    "punct_ratio",
+)
+_ALPHA_R6 = _r6("length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text)", "alpha_ratio")
+_WS_TOKCNT = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+
+_SQL_TEXT_STATS = f"""
+SELECT doc_id,
+       {_WS_TOKCNT} AS token_count,
+       len(regexp_extract_all(text, '{_BPE}')) AS bpe_token_count,
+       length(text) AS char_count,
+       {_PUNCT_R6},
+       {_ALPHA_R6}
+FROM documents
+"""
+
+
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.datapipe import with_lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_lang_id(docs).select("doc_id", "lang", "lang_pred")
+
+
+_SQL_LANG_ID = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS cjk,
+         list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t)) AS tk
+  FROM documents
+),
+h AS (
+  SELECT doc_id, lang, n_chars, cjk,
+         len(list_intersect(tk, ['the','and','of','to','in','is','that','it','for','with'])) AS h_en,
+         len(list_intersect(tk, ['der','die','und','das','ist','von','mit','den','nicht','ein'])) AS h_de,
+         len(list_intersect(tk, ['le','la','les','et','des','est','dans','que','une','pour'])) AS h_fr,
+         len(list_intersect(tk, ['el','la','los','las','que','de','en','es','por','una'])) AS h_es
+  FROM toks
+)
+SELECT doc_id, lang,
+  CASE WHEN n_chars = 0 THEN 'en'
+       WHEN cjk * 1.0 / greatest(n_chars, 1) > 0.25 THEN 'zh'
+       WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'en'
+       ELSE (SELECT max(s.l) FROM (VALUES (h_en,'en'),(h_de,'de'),(h_fr,'fr'),(h_es,'es')) s(v, l)
+             WHERE s.v = greatest(h_en, h_de, h_fr, h_es))
+  END AS lang_pred
+FROM h
+"""
+
+
+def _q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.datapipe import dedup_exact
+
+    return dedup_exact(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+
+
+_SQL_DEDUP_EXACT = """
+SELECT md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS content_hash,
+       min(doc_id) AS keep_id, count(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.datapipe import jaccard_pairs
+
+    out = jaccard_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), k=3, threshold=0.3
+    )
+    return _round6(out, "jaccard")
+
+
+_SQL_SHINGLES = """
+toks AS (
+  SELECT doc_id, list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t)) AS tk
+  FROM documents
+),
+sh AS (
+  SELECT doc_id AS id, unnest(list_distinct(
+    CASE WHEN len(tk) >= 3
+         THEN [array_to_string(tk[i:i+2], ' ') FOR i IN generate_series(1, len(tk) - 2)]
+         ELSE [array_to_string(tk, ' ')] END)) AS shingle
+  FROM toks
+)
+"""
+
+_SQL_JACCARD = f"""
+WITH {_SQL_SHINGLES},
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, {_r6('i * 1.0 / (sa.n_sh + sb.n_sh - i)', 'jaccard')}
+FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE i * 1.0 / (sa.n_sh + sb.n_sh - i) >= 0.3
+"""
+
+
+def _q_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.datapipe import minhash_dedup
+
+    out = minhash_dedup(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        num_hashes=32, bands=8, k=3, threshold=0.3, hash_mode="md5",
+    )
+    return _round6(out, "jaccard")
+
+
+def _sql_minhash() -> str:
+    sig_terms = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS s{i}" for i in range(32)
+    )
+    band_keys = ", ".join(
+        "concat(" + ", ".join(f"s{b * 4 + r}" for r in range(4)) + f") AS band{b}" for b in range(8)
+    )
+    band_union = " UNION ALL ".join(
+        f"SELECT id, {b} AS band, band{b} AS key FROM sigs" for b in range(8)
+    )
+    return f"""
+WITH {_SQL_SHINGLES},
+sigr AS (SELECT id, {sig_terms} FROM sh GROUP BY id),
+sigs AS (SELECT id, {band_keys} FROM sigr),
+sigb AS (SELECT id, band, key FROM ({band_union})),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sigb a JOIN sigb b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+),
+doc_sh AS (SELECT id, list(DISTINCT shingle) AS shl FROM sh GROUP BY id)
+SELECT id_a, id_b,
+       {_r6('len(list_intersect(da.shl, db.shl)) * 1.0 / (len(da.shl) + len(db.shl) - len(list_intersect(da.shl, db.shl)))', 'jaccard')}
+FROM cand JOIN doc_sh da ON da.id = id_a JOIN doc_sh db ON db.id = id_b
+WHERE len(list_intersect(da.shl, db.shl)) * 1.0 /
+      (len(da.shl) + len(db.shl) - len(list_intersect(da.shl, db.shl))) >= 0.3
+"""
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.datapipe import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = cosine_topk(emb, topk=5).select("qid", "cid", "cos", "rank")
+    return _round6(out, "cos")
+
+
+_SQL_COSINE_TOPK = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sims AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM e q JOIN e c ON q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+  FROM sims
+)
+SELECT qid, cid, {_r6('cos', 'cos')}, cast(rank AS int) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
+def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.datapipe import simhash_pairs
+
+    return simhash_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"), max_hamming=8)
+
+
+def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.datapipe import ann_lsh_topk
+
+    out = ann_lsh_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), topk=5, n_planes=8)
+    return _round6(out, "cos")
+
+
+def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.datapipe import with_quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = with_quality_score(docs).select("doc_id", "stopword_ratio", "quality_score")
+    return _round6(out, "stopword_ratio", "quality_score")
+
+
+_SQL_QUALITY = f"""
+WITH s AS (
+  SELECT doc_id,
+         CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END AS token_count,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) * 1.0 / length(text) AS alpha_ratio,
+         (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g'))) * 1.0 / length(text) AS punct_ratio,
+         len(list_intersect(list_transform(string_split_regex(trim(text), '\\s+'), t -> lower(t)),
+             ['the','and','of','to','in','is','that','it','for','with'])) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       {_r6('CASE WHEN token_count > 0 THEN stop_hits * 1.0 / token_count ELSE 0 END', 'stopword_ratio')},
+       {_r6('''0.35 * least(token_count / 50.0, 1.0) + 0.25 * alpha_ratio
+            + 0.2 * (1.0 - least(punct_ratio * 4, 1.0))
+            + 0.2 * least(CASE WHEN token_count > 0 THEN stop_hits * 1.0 / token_count ELSE 0 END * 5, 1.0)''', 'quality_score')}
+FROM s
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 
@@ -411,6 +630,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "linear_forecast": _q_linear_forecast,
         "holt_forecast": _q_holt,
         "gorilla_roundtrip_agg": _q_gorilla_roundtrip,
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "dedup_exact": _q_dedup_exact,
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh_dedup": _q_minhash_dedup,
+        "cosine_topk": _q_cosine_topk,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_lsh_topk": _q_ann_lsh,
     }
 
 
@@ -428,6 +656,15 @@ def oracle_sql() -> dict[str, str]:
         "ses_forecast_a03": _SQL_SES,
         "linear_forecast": _SQL_LINEAR,
         "gorilla_roundtrip_agg": _SQL_GORILLA,
+        "text_stats": _SQL_TEXT_STATS,
+        "quality_score": _SQL_QUALITY,
+        "lang_id": _SQL_LANG_ID,
+        "dedup_exact": _SQL_DEDUP_EXACT,
+        "ngram_jaccard_pairs": _SQL_JACCARD,
+        "minhash_lsh_dedup": _sql_minhash(),
+        "cosine_topk": _SQL_COSINE_TOPK,
+        # simhash_pairs / ann_lsh_topk: depend on engine-native xxhash64 /
+        # numpy hyperplanes — rows-only; cross-checked in tests/test_datapipe.py
         # savgol_w5_p2: edge polynomial re-fit + middle restore is not
         # SQL-expressible → rows-only check; golden parity covered in
         # tests/test_kernels_smoothing.py::test_savgol_golden_middle_restore

@@ -1,0 +1,150 @@
+"""Datapipe + multimodal tests: operator semantics and cross-checks against
+plain-python reimplementations on small corpora."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from transcriptts import datapipe as D
+from transcriptts import multimodal as M
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en"),
+        (1, "the quick brown fox jumps over the lazy cat", "en"),  # near-dup of 0
+        (2, "der hund ist von den katzen nicht begeistert und das ist ok", "de"),
+        (3, "le chat est dans la maison et les chiens sont pour une fois calmes", "fr"),
+        (4, "el perro es de los gatos en la casa por una razón", "es"),
+        (5, "今天天气很好我们去公园散步吧这是一个测试文档", "zh"),
+        (6, "THE QUICK  BROWN fox jumps over the lazy dog", "en"),  # exact dup of 0 after norm
+        (7, "completely unrelated text about spark query engines and shuffles", "en"),
+        (8, "", "en"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+
+def test_text_stats(docs):
+    r = {x["doc_id"]: x for x in D.with_text_stats(docs).collect()}
+    assert r[0]["token_count"] == 9
+    assert r[8]["token_count"] == 0 and r[8]["punct_ratio"] == 0.0
+    assert r[0]["alpha_ratio"] == pytest.approx(35 / 43)  # 43 chars, 8 spaces
+    assert r[0]["bpe_token_count"] == 9  # no digits/punct in doc 0
+
+
+def test_lang_id_on_real_language_text(docs):
+    r = {x["doc_id"]: x["lang_pred"] for x in D.with_lang_id(docs).collect()}
+    assert r[0] == "en" and r[2] == "de" and r[3] == "fr" and r[4] == "es"
+    assert r[5] == "zh"
+    assert r[8] == "en"  # empty → fallback
+
+
+def test_quality_score_bounds(docs):
+    for x in D.with_quality_score(docs).collect():
+        assert 0.0 <= x["quality_score"] <= 1.0
+    scores = {x["doc_id"]: x["quality_score"] for x in D.with_quality_score(docs).collect()}
+    assert scores[0] > scores[8]  # real sentence beats empty doc
+
+
+def test_dedup_exact_normalizes_case_and_whitespace(docs):
+    out = D.dedup_exact(docs)
+    groups = {r["keep_id"]: r["dup_count"] for r in out.collect()}
+    assert groups[0] == 2  # docs 0 and 6 collapse
+    assert out.count() == 8  # 9 docs → 8 distinct contents
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in D.jaccard_pairs(docs, k=3, threshold=0.4).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] == pytest.approx(6 / 8)  # 7 shingles each, 6 shared
+    assert (0, 6) in pairs and pairs[(0, 6)] == pytest.approx(1.0)
+
+
+def test_minhash_dedup_agrees_with_exact_jaccard(docs):
+    exact = {(r["id_a"], r["id_b"]) for r in D.jaccard_pairs(docs, k=3, threshold=0.4).collect()}
+    mh = {(r["id_a"], r["id_b"]) for r in D.minhash_dedup(docs, num_hashes=64, bands=16, k=3, threshold=0.4).collect()}
+    # minhash candidates are verified with exact jaccard → subset; with 16
+    # bands and J>=0.75 pairs, recall should be total on this corpus
+    assert mh == exact
+
+
+def test_minhash_md5_mode_matches_xxhash_mode(docs):
+    a = {(r["id_a"], r["id_b"]) for r in D.minhash_dedup(docs, 64, 16, 3, 0.4, hash_mode="md5").collect()}
+    b = {(r["id_a"], r["id_b"]) for r in D.minhash_dedup(docs, 64, 16, 3, 0.4, hash_mode="xxhash64").collect()}
+    assert a == b  # verification step makes the hash family irrelevant here
+
+
+def test_simhash_near_dup_low_hamming(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_pairs(docs, max_hamming=16).collect()}
+    assert (0, 6) in pairs and pairs[(0, 6)] == 0  # same tokens → same simhash
+    assert (0, 1) in pairs and pairs[(0, 1)] <= 16
+
+
+def test_fingerprint_normalization(docs):
+    fp = {r["doc_id"]: r["fingerprint"] for r in D.with_fingerprint(docs).collect()}
+    assert fp[0] == fp[6] and fp[0] != fp[1]
+
+
+# --- embeddings ----------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((20, 8))
+    base[1] = base[0] + rng.standard_normal(8) * 0.01  # near-dup of vec 0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(20)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_cosine_topk_exact(emb):
+    out = D.cosine_topk(emb, topk=3)
+    got = {(r["qid"], r["rank"]): r["cid"] for r in out.collect()}
+    mat = np.array(emb.orderBy("vec_id").select("embedding").toPandas()["embedding"].tolist())
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    np.fill_diagonal(sims, -np.inf)
+    for q in range(20):
+        order = np.argsort(-sims[q], kind="stable")[:3]
+        assert got[(q, 1)] == order[0], (q, got[(q, 1)], order)
+    assert got[(0, 1)] == 1 and got[(1, 1)] == 0  # the planted near-dup pair
+
+
+def test_ann_lsh_finds_planted_near_dup(emb):
+    out = {(r["qid"], r["rank"]): r["cid"] for r in D.ann_lsh_topk(emb, topk=3, n_planes=6).collect()}
+    assert out[(0, 1)] == 1  # near-identical vectors share every sign bit
+
+
+def test_embedding_dedup(emb):
+    pairs = [(r["id_a"], r["id_b"]) for r in D.embedding_dedup(emb, threshold=0.99).collect()]
+    assert pairs == [(0, 1)]
+
+
+# --- multimodal stubs ------------------------------------------------------------
+
+
+def test_multimodal_feature_plumbing(spark):
+    media = M.synth_media(spark, n=30)
+    feats = M.extract_features(media).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert len(r["feature"]) == M.FEATURE_DIM and r["payload_bytes"] > 0
+    # deterministic: same payload → same features
+    again = M.extract_features(M.synth_media(spark, n=30)).collect()
+    assert {r["media_id"]: r["feature"] for r in feats} == {r["media_id"]: r["feature"] for r in again}
+
+
+def test_multimodal_raise_stub(spark):
+    media = M.synth_media(spark, n=3)
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        M.extract_features(media, decode_stub="raise").collect()
+
+
+def test_frame_sample_plan(spark):
+    media = M.synth_media(spark, n=9)
+    plan = M.frame_sample_plan(media, every_n=100)
+    rows = plan.groupBy("media_id").count().collect()
+    assert all(r["count"] >= 1 for r in rows)
+    assert plan.where("frame_idx % 100 != 0").count() == 0

@@ -1,0 +1,415 @@
+"""Training-data pipeline operators over document/embedding tables.
+
+Everything here is built from JVM-side `pyspark.sql.functions` expressions —
+no Python UDFs — so the hot path stays inside whole-stage codegen:
+
+- text analysis: tokenization (whitespace + BPE-ish regex), quality scoring,
+  n-gram language ID (stopword/charset heuristic), rolling-hash fingerprint;
+- dedup: exact (hash groupBy), n-gram Jaccard (shingle self-join), MinHash +
+  LSH banding (signature = array expressions; bands → bucket join), SimHash
+  (per-bit vote aggregation), embedding-cosine near-dup;
+- similarity search: brute-force cosine top-k (the exactness baseline) and a
+  random-hyperplane LSH-bucketed variant (the scale path: candidates only
+  join within matching buckets).
+
+Hashing is pluggable: 'xxhash64' (fast JVM hash — production default) or
+'md5' (hex-string hashing reproducible in DuckDB — used by the oracle
+queries; MinHash then takes the LEXICOGRAPHIC min of salted md5 strings,
+which is a valid uniform min-hash family and engine-portable).
+
+Scale notes: the shingle self-join keys on the shingle hash, so common
+shingles create skew — `jaccard_pairs` filters shingles by document frequency
+(stop-shingle cap) before the join; LSH banding bounds candidate pairs by
+bucket, which is the point of MinHash at 10^9 docs — the exact O(n^2) pair
+join never happens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# --- tokenization / text stats ------------------------------------------------
+
+_BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
+_PUNCT_PATTERN = r"[^\w\s]"
+
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "dans", "que", "une", "pour"],
+    "es": ["el", "la", "los", "las", "que", "de", "en", "es", "por", "una"],
+}
+
+
+def ws_tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization; blank → empty array."""
+    c = F.col(col) if isinstance(col, str) else col
+    t = F.trim(F.coalesce(c, F.lit("")))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(F.split(t, r"\s+"))
+
+
+def bpe_ish_tokens(col: str | Column = "text") -> Column:
+    """BPE-ish regex tokens: letter runs, single digits, single punctuation."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(F.coalesce(c, F.lit("")), F.lit(_BPE_ISH_PATTERN), 0)
+
+
+def with_text_stats(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """token_count (ws), bpe_token_count, char_count, punct_ratio,
+    alpha_ratio, mean_token_len — one projection, no shuffle."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    toks = ws_tokens(text_col)
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, _PUNCT_PATTERN, ""))
+    n_alpha = F.length(F.regexp_replace(t, r"[^a-zA-Z]", ""))
+    n_chars = F.length(t)
+    return (
+        docs.withColumn("token_count", F.size(toks))
+        .withColumn("bpe_token_count", F.size(bpe_ish_tokens(text_col)))
+        .withColumn("char_count", n_chars)
+        .withColumn("punct_ratio", F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0)))
+        .withColumn("alpha_ratio", F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0)))
+        .withColumn(
+            "mean_token_len",
+            F.when(F.size(toks) > 0, (F.length(F.regexp_replace(t, r"\s+", "")) / F.size(toks))).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def with_quality_score(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic [0,1] quality score: favors mid-length docs with moderate
+    punctuation, high alpha ratio, and some English-stopword coverage."""
+    d = with_text_stats(docs, text_col)
+    toks = ws_tokens(text_col)
+    sw = F.array([F.lit(w) for w in STOPWORDS["en"]])
+    stop_hits = F.size(F.array_intersect(F.transform(toks, lambda x: F.lower(x)), sw))
+    stop_ratio = F.when(F.size(toks) > 0, stop_hits / F.size(toks)).otherwise(F.lit(0.0))
+    length_score = F.least(F.col("token_count") / F.lit(50.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(F.col("punct_ratio") * 4, F.lit(1.0))
+    return d.withColumn("stopword_ratio", stop_ratio).withColumn(
+        "quality_score",
+        (0.35 * length_score + 0.25 * F.col("alpha_ratio") + 0.2 * punct_score + 0.2 * F.least(stop_ratio * 5, F.lit(1.0))).cast("double"),
+    )
+
+
+def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: CJK char ratio → zh; else argmax stopword hits
+    over per-language lists; no hits → 'en' fallback. Pure expressions."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    cjk = F.length(F.regexp_replace(t, r"[^一-鿿]", ""))
+    toks = F.transform(ws_tokens(text_col), lambda x: F.lower(x))
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array([F.lit(w) for w in words]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in STOPWORDS.items()
+    ]
+    # array_max on structs orders by (hits, lang) — deterministic argmax with
+    # lexicographically-largest language breaking ties
+    best = F.array_max(F.array(*scores))
+    pred = F.when(F.length(t) > 0, F.when(cjk / F.greatest(F.length(t), F.lit(1)) > 0.25, F.lit("zh")).otherwise(
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("en"))
+    )).otherwise(F.lit("en"))
+    return docs.withColumn("lang_pred", pred)
+
+
+def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
+    lowercased text (content-defined identity for exact/near-exact dedup)."""
+    norm = F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "))
+    return docs.withColumn("fingerprint", F.xxhash64(norm))
+
+
+# --- dedup ---------------------------------------------------------------------
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup on normalized text hash: one row per distinct content with
+    the kept (minimum) id and duplicate count. Hash-groupBy → map-side
+    partials; no text comparisons beyond the hash."""
+    norm = F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "))
+    return (
+        docs.select(F.md5(norm).alias("content_hash"), F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+def word_shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs: k-word shingles of the lowercased token stream.
+    Docs with fewer than k tokens contribute their full token string."""
+    toks = F.transform(ws_tokens(text_col), lambda x: F.lower(x))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    sh = F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))).otherwise(
+        F.array(F.concat_ws(" ", toks))
+    )
+    return docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def jaccard_pairs(
+    docs: DataFrame,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_shingle_df: int = 1000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle self-join.
+
+    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|); intersection counted by joining on the
+    shingle, union from per-doc shingle counts. Shingles appearing in more
+    than max_shingle_df docs are dropped before the join (stop-shingle cap —
+    the skew guard; a shingle in d docs creates d^2 join rows)."""
+    sh = word_shingles(docs, k, text_col, id_col).cache()
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
+    filtered = sh.join(F.broadcast(df_counts.where(F.col("sdf") <= max_shingle_df)), "shingle")
+    a = filtered.select(F.col("id").alias("id_a"), "shingle")
+    b = filtered.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(F.broadcast(sizes).withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(F.broadcast(sizes).withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """(id, sig array<string|long>): MinHash signature per document.
+
+    xxhash64 mode: h_i(s) = xxhash64(s, seed=i), numeric min per seed (fast,
+    JVM). md5 mode: h_i(s) = md5(i || ':' || s) hex string, LEXICOGRAPHIC min
+    per salt — byte-identical in DuckDB, used for oracle checks."""
+    sh = word_shingles(docs, k, text_col, id_col)
+    grouped = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    if hash_mode == "xxhash64":
+        sig = F.array(
+            *[F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.xxhash64(s, F.lit(i)))) for i in range(num_hashes)]
+        )
+    elif hash_mode == "md5":
+        sig = F.array(
+            *[
+                F.array_min(F.transform(F.col("sh"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))))
+                for i in range(num_hashes)
+            ]
+        )
+    else:
+        raise ValueError("hash_mode must be 'xxhash64' or 'md5'")
+    return grouped.select("id", sig.alias("sig"))
+
+
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+    """MinHash-LSH banding: split each signature into `bands` equal slices,
+    bucket on (band index, slice hash), emit distinct in-bucket pairs.
+
+    This is the O(n^2)-avoidance step: pairs only form inside buckets, and
+    bucket sizes stay small for non-duplicate corpora."""
+    sig_len_row = signatures.select(F.size("sig").alias("n")).limit(1).collect()
+    if not sig_len_row:
+        return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
+    rows = sig_len_row[0]["n"] // bands
+    if rows < 1:
+        raise ValueError("bands exceeds signature length")
+    banded = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.hash(F.slice("sig", b * rows + 1, rows)).alias("bucket"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "bb.band", "bb.bucket")
+    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
+    return a.join(b, ["band", "bucket"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+
+
+def minhash_dedup(
+    docs: DataFrame,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 3,
+    threshold: float = 0.5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: shingle → sign → band → bucket-join →
+    EXACT Jaccard verification of the candidates only."""
+    sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col, hash_mode)
+    cands = lsh_candidate_pairs(sigs, bands)
+    sh = word_shingles(docs, k, text_col, id_col)
+    grouped = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
+    j = (
+        cands.join(grouped.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(grouped.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn("inter", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("jaccard", F.col("inter") / (F.size("sh_a") + F.size("sh_b") - F.col("inter")))
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return j
+
+
+def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash: per token hash, vote +1/-1 per bit, sign → bit.
+
+    Implemented as an explode + 64 conditional-sum aggregates — all JVM-side.
+    Near-dup candidates = small Hamming distance (see simhash_pairs)."""
+    toks = docs.select(
+        F.col(id_col).alias("id"), F.explode(ws_tokens(text_col)).alias("tok")
+    ).withColumn("h", F.xxhash64(F.lower(F.col("tok"))))
+    votes = toks.groupBy("id").agg(
+        *[
+            F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            for i in range(64)
+        ]
+    )
+    sim = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        sim = term if sim is None else sim.bitwiseXOR(term)
+    return votes.select("id", sim.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit keys (any
+    pair within Hamming distance 3 shares at least one band), bucket-join,
+    then verify exact Hamming distance via bit_count(xor)."""
+    s = simhash64(docs, text_col, id_col)
+    banded = s.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band"), F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key")) for b in range(4)])
+        ).alias("bb"),
+    ).select("id", "simhash", "bb.band", "bb.key")
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embeddings: similarity search + near-dup -----------------------------------
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v))
+
+
+def cosine_topk(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    topk: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the (small) query side against the
+    corpus, dot products via zip_with/aggregate (JVM), rank per query.
+
+    Exactness baseline; O(|Q| * |corpus| * dim). At 100 TB the corpus side
+    stays partitioned and only queries broadcast."""
+    base = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cvec"))
+    qs = (queries or emb).select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qvec"))
+    sims = base.join(F.broadcast(qs), F.col("cid") != F.col("qid")).select(
+        "qid",
+        "cid",
+        (_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    topk: int = 5,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: sign pattern of n_planes
+    projections → bucket; candidates only join within a bucket; exact cosine
+    re-ranks candidates. Recall trades off with n_planes; the scale path —
+    bucket join replaces the all-pairs product."""
+    sample = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+    if not sample:
+        return emb.sparkSession.createDataFrame([], "qid long, cid long, cos double, rank int")
+    planes = _hyperplanes(sample[0]["d"], n_planes, seed)
+    v = F.col(vec_col).cast("array<double>")
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(v, F.array([F.lit(float(w)) for w in row]), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            )
+            >= 0,
+            F.lit(1),
+        ).otherwise(F.lit(0))
+        for row in planes
+    ]
+    bucket = None
+    for i, b in enumerate(bits):
+        term = F.shiftleft(b.cast("long"), i)
+        bucket = term if bucket is None else bucket + term
+    tagged = emb.select(F.col(id_col).alias("id"), v.alias("vec"), bucket.alias("bucket"))
+    a = tagged.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "bucket")
+    b = tagged.select(F.col("id").alias("cid"), F.col("vec").alias("cvec"), "bucket")
+    sims = (
+        a.join(b, "bucket")
+        .where(F.col("qid") != F.col("cid"))
+        .select("qid", "cid", (_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cos"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
+
+
+def embedding_dedup(
+    emb: DataFrame, threshold: float = 0.98, n_planes: int = 10, seed: int = 7,
+    vec_col: str = "embedding", id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH-bucketed candidates (near-dups at
+    cos >= threshold almost always share all sign bits), exact cosine check."""
+    ranked = ann_lsh_topk(emb, topk=50, n_planes=n_planes, seed=seed, vec_col=vec_col, id_col=id_col)
+    return (
+        ranked.where((F.col("cos") >= threshold) & (F.col("qid") < F.col("cid")))
+        .select(F.col("qid").alias("id_a"), F.col("cid").alias("id_b"), "cos")
+        .distinct()
+    )
