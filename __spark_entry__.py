@@ -74,21 +74,25 @@ def _signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _transcripts(spark, sf_dir).select("conv_id", "turn_idx", "ts", "value")
 
 
-def _round6(df: DataFrame, *cols: str) -> DataFrame:
-    """Round doubles to 6 dp with an EXPLICIT half-up convention.
+def _round6(df: DataFrame, *cols: str, digits: int = 6) -> DataFrame:
+    """Round doubles with an EXPLICIT half-up convention.
 
     Spark's round() is HALF_UP but DuckDB's is half-even, so exact halves
-    (binary fractions like x.xx78125) would hash-mismatch; floor(x*1e6+0.5)
-    evaluates identically in both engines."""
+    (binary fractions like x.xx78125) would hash-mismatch; floor(x*10^d+0.5)
+    evaluates identically in both engines. Queries over higher-variance
+    aggregates (e.g. var_pop sums whose engines differ in the last ulp) use
+    fewer digits so a 1-ulp difference can't straddle the boundary."""
+    scale = float(10**digits)
     for c in cols:
         v = F.col(c).cast("double")
-        df = df.withColumn(c, F.floor(v * 1e6 + F.lit(0.5)) / 1e6)
+        df = df.withColumn(c, F.floor(v * scale + F.lit(0.5)) / scale)
     return df
 
 
-def _r6(expr: str, alias: str) -> str:
+def _r6(expr: str, alias: str, digits: int = 6) -> str:
     """The DuckDB-side twin of _round6."""
-    return f"floor(({expr}) * 1000000 + 0.5) / 1000000.0 AS {alias}"
+    scale = 10**digits
+    return f"floor(({expr}) * {scale} + 0.5) / {scale}.0 AS {alias}"
 
 
 _ROLLUP_CORE = "cnt bigint, sum double, mean double, min double, max double, p50 double, p99 double"
@@ -598,6 +602,70 @@ FROM s
 """
 
 
+# --- statistical functions (SURVEY §2.7) ---------------------------------------
+
+
+def _q_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.stats import series_stats
+
+    out = series_stats(_signal(spark, sf_dir))
+    return _round6(
+        out, "mean", "median", "var_pop", "stddev_pop", "min", "max",
+        "skewness_g1", "kurtosis_pop_excess", "kurtosis_g2", digits=4,
+    )
+
+
+_SQL_SERIES_STATS = f"""
+WITH {_T_SQL},
+m AS (
+  SELECT conv_id, count(*) AS n, avg(value) AS mu, var_pop(value) AS vp,
+         quantile_cont(value, 0.5) AS med, min(value) AS mn, max(value) AS mx
+  FROM t GROUP BY conv_id
+),
+z AS (
+  SELECT t.conv_id, m.n, m.mu, m.vp, m.med, m.mn, m.mx,
+         (t.value - m.mu) / sqrt(m.vp) AS d
+  FROM t JOIN m ON t.conv_id = m.conv_id
+),
+agg AS (
+  SELECT conv_id, any_value(n) AS n, any_value(mu) AS mu, any_value(vp) AS vp,
+         any_value(med) AS med, any_value(mn) AS mn, any_value(mx) AS mx,
+         sum(d * d * d) AS s3, sum(d * d * d * d) AS s4
+  FROM z GROUP BY conv_id
+)
+SELECT conv_id, n,
+       {_r6('mu', 'mean', 4)}, {_r6('med', 'median', 4)}, {_r6('vp', 'var_pop', 4)},
+       {_r6('sqrt(vp)', 'stddev_pop', 4)}, {_r6('mn', 'min', 4)}, {_r6('mx', 'max', 4)},
+       {_r6('CASE WHEN n >= 3 THEN n * s3 / ((n - 1.0) * (n - 2.0)) END', 'skewness_g1', 4)},
+       {_r6('CASE WHEN n >= 4 THEN s4 / n - 3 END', 'kurtosis_pop_excess', 4)},
+       {_r6('''CASE WHEN n >= 4 THEN ((n + 1.0) * (s4 / n - 3) + 6) * (n - 1.0)
+              / ((n - 2.0) * (n - 3.0)) END''', 'kurtosis_g2', 4)}
+FROM agg
+"""
+
+
+def _q_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.stats import with_normalized
+
+    out = with_normalized(_signal(spark, sf_dir)).select(
+        "conv_id", "turn_idx", "normalized", "zscore"
+    )
+    return _round6(out, "normalized", "zscore")
+
+
+_SQL_NORMALIZE = f"""
+WITH {_T_SQL}
+SELECT conv_id, turn_idx,
+       {_r6('''CASE WHEN max(value) OVER w - min(value) OVER w > 0
+            THEN (value - min(value) OVER w) / (max(value) OVER w - min(value) OVER w)
+            ELSE 0 END''', 'normalized')},
+       {_r6('''CASE WHEN stddev_pop(value) OVER w > 0.000000001
+            THEN (value - avg(value) OVER w) / (stddev_pop(value) OVER w)
+            ELSE 0 END''', 'zscore')}
+FROM t WINDOW w AS (PARTITION BY conv_id)
+"""
+
+
 # --- contract ---------------------------------------------------------------
 
 
@@ -639,6 +707,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
+        "series_stats": _q_series_stats,
+        "normalize_zscore": _q_normalize,
     }
 
 
@@ -663,6 +733,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "minhash_lsh_dedup": _sql_minhash(),
         "cosine_topk": _SQL_COSINE_TOPK,
+        "series_stats": _SQL_SERIES_STATS,
+        "normalize_zscore": _SQL_NORMALIZE,
         # simhash_pairs / ann_lsh_topk: depend on engine-native xxhash64 /
         # numpy hyperplanes — rows-only; cross-checked in tests/test_datapipe.py
         # savgol_w5_p2: edge polynomial re-fit + middle restore is not
