@@ -1,0 +1,107 @@
+"""spark-submit entry point.
+
+Package + submit (the north-rule launch mode):
+
+    cd /root/repo && zip -r /tmp/transcriptts.zip transcriptts
+    spark-submit --master local[32] --py-files /tmp/transcriptts.zip \
+        transcriptts/cli.py rollup --input /tmp/transcripts.parquet --root /tmp/tiers
+
+Subcommands:
+  synth   --out PATH --convs N [--seed S] [--metronome N] [--slices N]
+  rollup  --input PATH --root PATH [--tiers 1m,1h,1d] [--incremental]
+  bench   --input PATH [--tiers ...]    (prints one JSON line: turns/sec)
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="transcriptts")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p_synth = sub.add_parser("synth")
+    p_synth.add_argument("--out", required=True)
+    p_synth.add_argument("--convs", type=int, default=10000)
+    p_synth.add_argument("--seed", type=int, default=42)
+    p_synth.add_argument("--metronome", type=int, default=86400)
+    p_synth.add_argument("--slices", type=int, default=64)
+
+    p_roll = sub.add_parser("rollup")
+    p_roll.add_argument("--input", required=True)
+    p_roll.add_argument("--root", required=True)
+    p_roll.add_argument("--tiers", default="1m,1h,1d")
+    p_roll.add_argument("--incremental", action="store_true")
+
+    p_bench = sub.add_parser("bench")
+    p_bench.add_argument("--input", required=True)
+    p_bench.add_argument("--tiers", default="1m,1h,1d")
+
+    args = ap.parse_args(argv)
+
+    # spark-submit provides the app JVM; builder.getOrCreate attaches to it.
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.appName(f"transcriptts-{args.cmd}")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .getOrCreate()
+    )
+
+    if args.cmd == "synth":
+        from transcriptts.synth import synth_transcripts_spark
+
+        df = synth_transcripts_spark(
+            spark, n_convs=args.convs, seed=args.seed,
+            metronome_turns=args.metronome, slices=args.slices,
+        )
+        df.write.mode("overwrite").parquet(args.out)
+        print(json.dumps({"written": args.out, "rows": spark.read.parquet(args.out).count()}))
+
+    elif args.cmd == "rollup":
+        from transcriptts.pipeline import RollupPipeline
+
+        df = spark.read.parquet(args.input)
+        report = RollupPipeline(spark, args.root).run(
+            df, tiers=tuple(args.tiers.split(",")), incremental=args.incremental
+        )
+        print(json.dumps(report))
+
+    elif args.cmd == "bench":
+        from transcriptts.rollup import rollup_tiers
+
+        df = spark.read.parquet(args.input)
+        n_turns = df.count()
+        # untimed warmup pass: JIT/codegen compilation and page cache, so the
+        # timed pass measures steady-state throughput at both core counts
+        for tier_df in rollup_tiers(df).values():
+            tier_df.write.format("noop").mode("overwrite").save()
+        t0 = time.time()
+        for tier_df in rollup_tiers(df).values():
+            tier_df.write.format("noop").mode("overwrite").save()
+        wall = time.time() - t0
+        cores = spark.sparkContext.defaultParallelism
+        print(
+            json.dumps(
+                {
+                    "turns": n_turns,
+                    "tiers": 3,
+                    "wall_sec": round(wall, 3),
+                    "turns_per_sec": round(n_turns * 3 / wall, 1),
+                    "cores": cores,
+                }
+            )
+        )
+
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
