@@ -1,0 +1,71 @@
+"""Optimizer tests (grid search + Nelder-Mead) — no Spark needed except the
+distributed-grid variant."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from transcriptts.optimize import Param, grid_search, nelder_mead
+
+
+def rosenbrock(p):
+    x, y = p["x"], p["y"]
+    return (1 - x) ** 2 + 100 * (y - x * x) ** 2
+
+
+def test_grid_search_quadratic():
+    res = grid_search(lambda p: (p["x"] - 0.3) ** 2, [Param("x", -1, 1)], steps=21)
+    assert res.best_params["x"] == pytest.approx(0.3, abs=0.05)
+    assert res.evaluations == 21
+
+
+def test_grid_search_refinement_improves():
+    coarse = grid_search(lambda p: (p["x"] - 0.317) ** 2, [Param("x", 0, 1)], steps=5)
+    refined = grid_search(
+        lambda p: (p["x"] - 0.317) ** 2, [Param("x", 0, 1)], steps=5, adaptive_refinement=True
+    )
+    assert refined.best_value < coarse.best_value
+    assert refined.evaluations > coarse.evaluations
+
+
+def test_grid_search_early_stop_and_budget():
+    res = grid_search(lambda p: abs(p["x"]), [Param("x", 0, 9)], steps=10, early_stopping_threshold=0.0)
+    assert res.evaluations == 1  # first point x=0 hits the threshold
+    res2 = grid_search(lambda p: abs(p["x"]), [Param("x", 1, 9)], steps=10, max_evaluations=3)
+    assert res2.evaluations == 3
+
+
+def test_grid_search_log_scale():
+    res = grid_search(
+        lambda p: abs(math.log10(p["lr"]) + 3), [Param("lr", 1e-6, 1.0)], steps=7,
+        log_scale_for={"lr"},
+    )
+    assert res.best_params["lr"] == pytest.approx(1e-3, rel=0.01)
+
+
+def test_nelder_mead_rosenbrock():
+    res = nelder_mead(
+        rosenbrock, [Param("x", -2, 2, 0.0), Param("y", -2, 2, 0.0)],
+        max_iterations=5000, f_tol=1e-12, x_tol=1e-8, stagnation_iters=200,
+    )
+    assert res.best_params["x"] == pytest.approx(1.0, abs=1e-2)
+    assert res.best_params["y"] == pytest.approx(1.0, abs=1e-2)
+
+
+def test_nelder_mead_respects_bounds():
+    res = nelder_mead(lambda p: -p["x"], [Param("x", 0, 5)], max_iterations=200)
+    assert 0 <= res.best_params["x"] <= 5
+    assert res.best_params["x"] == pytest.approx(5.0, abs=1e-3)
+
+
+def test_nelder_mead_multi_start_escapes():
+    def double_well(p):  # minima at -2 (local, f=1) and +2 (global, f=0)
+        x = p["x"]
+        return min((x + 2) ** 2 + 1, (x - 2) ** 2)
+
+    single = nelder_mead(double_well, [Param("x", -4, 4, -3.0)], max_iterations=300)
+    multi = nelder_mead(double_well, [Param("x", -4, 4, -3.0)], multi_start=True, max_restarts=5, seed=3)
+    assert multi.best_value <= single.best_value
+    assert multi.best_value == pytest.approx(0.0, abs=1e-3)
