@@ -1,0 +1,79 @@
+"""Structured Streaming rollup tests (hermetic file-source streams)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from transcriptts.streaming import (
+    read_transcript_stream,
+    run_stream_to_memory,
+    stream_rollup_foreach_batch,
+    streaming_rollup_1m,
+)
+
+BASE = dt.datetime(2025, 1, 1)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_streaming_rollup_appends_closed_windows(spark, tmp_path):
+    inp = str(tmp_path / "in")
+    rows = [
+        ("c", i, "user", "a b c", None, BASE + dt.timedelta(seconds=20 * i)) for i in range(9)
+    ]
+    # a late straggler 30 min later forces the watermark past the first windows
+    rows.append(("c", 9, "user", "x", None, BASE + dt.timedelta(minutes=30)))
+    _write_batch(spark, inp, rows)
+
+    agg = streaming_rollup_1m(read_transcript_stream(spark, inp), watermark="5 minutes")
+    run_stream_to_memory(agg, "s1", str(tmp_path / "ck"))
+    out = {r["bucket_start"]: r for r in spark.sql("select * from s1").collect()}
+    # windows 0-2 closed (watermark = 30min - 5min); each has 3 turns of 3 tokens
+    assert len(out) == 3
+    for b, r in out.items():
+        assert r["cnt"] == 3 and r["mean"] == 3.0
+
+
+def test_streaming_resumes_from_checkpoint(spark, tmp_path):
+    # file sink + checkpoint: a restarted query resumes from the offsets log
+    # and appends only newly closed windows (memory sink cannot recover)
+    inp, ck, outp = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+
+    def run_once():
+        agg = streaming_rollup_1m(read_transcript_stream(spark, inp), watermark="0 seconds")
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _write_batch(spark, inp, [("c", 0, "user", "a b", None, BASE)])
+    run_once()
+    n1 = spark.read.parquet(outp).count()  # window 0 still open → nothing emitted
+    _write_batch(spark, inp, [("c", 1, "user", "a b c", None, BASE + dt.timedelta(minutes=5))])
+    run_once()
+    rows = spark.read.parquet(outp).collect()
+    assert n1 == 0
+    assert len(rows) == 1 and rows[0]["cnt"] == 1  # only the newly closed window
+
+
+def test_foreach_batch_bridge_runs_full_batch_rollup(spark, tmp_path):
+    inp, outp, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
+    rows = [("c", i, "user", "w " * (i + 1), None, BASE + dt.timedelta(seconds=10 * i)) for i in range(12)]
+    _write_batch(spark, inp, rows)
+    stream_rollup_foreach_batch(spark, inp, outp, ck)
+    got = spark.read.parquet(f"{outp}/tier=1m_stream")
+    toks = {r["bucket_start"]: r for r in got.where("metric='token_count'").collect()}
+    assert sum(r["cnt"] for r in toks.values()) == 12
+    lats = got.where("metric='latency_s'").collect()
+    assert len(lats) > 0 and all(r["p50"] is not None for r in lats)  # exact percentiles present
