@@ -35,13 +35,22 @@ def make_zip(path: str) -> None:
 
 
 def spark_submit(master: str, zip_path: str, cli_args: list[str], shuffle_partitions: int) -> dict:
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
     cmd = [
         "spark-submit",
         "--master", master,
+        # IDENTICAL work decomposition at both parallelism levels: fixed
+        # shuffle-partition count (4x the high core count) so the efficiency
+        # ratio measures parallel speedup, not a partitioning change.
+        # (shuffle=cores cripples BOTH levels: 2-4x slower than 128.)
         "--conf", f"spark.sql.shuffle.partitions={shuffle_partitions}",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
-        "--conf", "spark.driver.memory=16g",
+        "--conf", "spark.driver.memory=64g",
+        # shuffle spill dir on tmpfs: the sandbox's root disk serializes
+        # concurrent shuffle writes (~25% wall at 32 cores); a real cluster
+        # would use local NVMe per executor
+        "--conf", "spark.local.dir=/dev/shm/spark-local",
         "--py-files", zip_path,
         os.path.join(REPO, "transcriptts", "cli.py"),
         *cli_args,
@@ -74,7 +83,7 @@ def main() -> None:
         r = spark_submit(
             f"local[{args.high}]", zip_path,
             ["synth", "--out", data_path, "--convs", str(n_convs), "--slices", "128"],
-            args.high,
+            4 * args.high,
         )
         print("synth:", r, file=sys.stderr)
 
@@ -83,7 +92,7 @@ def main() -> None:
         best = None
         for _ in range(args.repeats):
             r = spark_submit(
-                f"local[{cores}]", zip_path, ["bench", "--input", data_path], cores
+                f"local[{cores}]", zip_path, ["bench", "--input", data_path], 4 * args.high
             )
             print(f"local[{cores}]:", r, file=sys.stderr)
             if best is None or r["turns_per_sec"] > best["turns_per_sec"]:

@@ -132,3 +132,28 @@ def test_coarsen_partials_exact_moments(spark):
         assert m["cnt"] == r["cnt"]
         for c in ("sum", "mean", "min", "max"):
             assert m[c] == pytest.approx(r[c], abs=1e-9)
+
+
+def test_hierarchical_tiers_match_per_tier_rollup(spark):
+    """One-raw-shuffle hierarchical pipeline == three independent wide
+    rollups, tier by tier, including EXACT p50/p99 (merged multisets)."""
+    from transcriptts.rollup import rollup_tiers_hierarchical
+
+    tbl = synth_transcripts_arrow(n_convs=40, metronome_turns=200, seed=13)
+    df = spark.createDataFrame(tbl.to_pandas())
+    per_tier = rollup_tiers(df)
+    hier = rollup_tiers_hierarchical(df)
+    for tier in ("1m", "1h", "1d"):
+        want = {
+            (r["conv_id"], r["bucket_start"], r["metric"]): r
+            for r in per_tier[tier].collect()
+        }
+        got = hier[tier].collect()
+        assert len(got) == len(want), tier
+        for r in got:
+            p = want[(r["conv_id"], r["bucket_start"], r["metric"])]
+            assert r["cnt"] == p["cnt"], (tier, r, p)
+            for c in ("sum", "mean", "min", "max", "p50", "p99"):
+                assert r[c] == pytest.approx(p[c], abs=1e-9), (tier, c, r, p)
+    for d in hier.values():
+        d.unpersist()

@@ -185,15 +185,6 @@ def rollup_salted(df: DataFrame, tier: str = "1m", salt_buckets: int = 8) -> Dat
         F.sort_array(F.flatten(F.collect_list("p_vals"))).alias("vals"),
     )
 
-    def exact_pct(vals: Column, cnt: Column, p: float) -> Column:
-        # linear interpolation on sorted array: pos = p*(n-1); 1-based element_at
-        pos = F.lit(p) * (cnt - 1).cast("double")
-        lo = F.floor(pos).cast("int")
-        frac = pos - lo.cast("double")
-        a = F.element_at(vals, lo + 1)
-        b = F.element_at(vals, F.least(lo + F.lit(2), cnt.cast("int")))
-        return a + frac * (b - a)
-
     return merged.select(
         "conv_id",
         F.col("w.start").alias("bucket_start"),
@@ -203,8 +194,8 @@ def rollup_salted(df: DataFrame, tier: str = "1m", salt_buckets: int = 8) -> Dat
         (F.col("sum") / F.col("cnt")).alias("mean"),
         "min",
         "max",
-        exact_pct(F.col("vals"), F.col("cnt"), 0.5).alias("p50"),
-        exact_pct(F.col("vals"), F.col("cnt"), 0.99).alias("p99"),
+        _exact_pct(F.col("vals"), F.col("cnt"), 0.5).alias("p50"),
+        _exact_pct(F.col("vals"), F.col("cnt"), 0.99).alias("p99"),
     )
 
 
@@ -249,6 +240,130 @@ def coarsen_partials(fine: DataFrame, tier: str) -> DataFrame:
             F.lit(None).cast("double").alias("p99"),
         )
     )
+
+
+def _exact_pct(vals: Column, cnt: Column, p: float) -> Column:
+    """Exact percentile with linear interpolation on a SORTED array.
+
+    pos = p*(n-1) (the same convention as Spark's exact ``percentile`` and
+    DuckDB's quantile_cont; reference median = p=0.5 special case,
+    StatisticalFunctions.helpers.cs:32-45). 1-based element_at."""
+    pos = F.lit(p) * (cnt - 1).cast("double")
+    lo = F.floor(pos).cast("int")
+    frac = pos - lo.cast("double")
+    a = F.element_at(vals, lo + 1)
+    b = F.element_at(vals, F.least(lo + F.lit(2), cnt.cast("int")))
+    return a + frac * (b - a)
+
+
+def _partials_1m(derived: DataFrame) -> DataFrame:
+    """ONE wide aggregation of raw turns into per-(conv, 1m-bucket, metric)
+    partials that carry the bucket's full (unsorted) value multiset.
+
+    This is the only shuffle that ever sees raw turns in the hierarchical
+    tier pipeline: every coarser tier re-aggregates these partials.
+    """
+    aggs = []
+    for m in METRICS:
+        v = F.col(m).cast("double")
+        aggs += [
+            F.count(v).alias(f"{m}_cnt"),
+            F.sum(v).alias(f"{m}_sum"),
+            F.min(v).alias(f"{m}_min"),
+            F.max(v).alias(f"{m}_max"),
+            F.collect_list(v).alias(f"{m}_vals"),
+        ]
+    wide = derived.groupBy("conv_id", F.window("ts", TIERS["1m"]).alias("w")).agg(*aggs)
+    per_metric = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("metric"),
+                F.col(f"{m}_cnt").alias("cnt"),
+                F.col(f"{m}_sum").alias("sum"),
+                F.col(f"{m}_min").alias("min"),
+                F.col(f"{m}_max").alias("max"),
+                F.col(f"{m}_vals").alias("vals"),
+            )
+            for m in METRICS
+        ]
+    )
+    return (
+        wide.select("conv_id", F.col("w.start").alias("bucket_start"), F.explode(per_metric).alias("s"))
+        .where(F.col("s.cnt") > 0)
+        .select("conv_id", "bucket_start", "s.metric", "s.cnt", "s.sum", "s.min", "s.max", "s.vals")
+    )
+
+
+def _coarsen_partials_exact(partials: DataFrame, tier: str) -> DataFrame:
+    """Merge fine partials into coarser buckets. Moments compose exactly;
+    the value multisets concatenate — so the coarse tier's exact percentiles
+    are computable without ever touching raw turns again."""
+    from .schema import TIER_SECONDS
+
+    secs = TIER_SECONDS[tier]
+    in_type = dict(partials.dtypes)["bucket_start"]
+    bucket = (
+        F.timestamp_seconds(
+            (F.unix_seconds(F.col("bucket_start").cast("timestamp")) / secs).cast("long") * secs
+        )
+        .cast(in_type)
+        .alias("bucket_start")
+    )
+    return partials.groupBy("conv_id", bucket, "metric").agg(
+        F.sum("cnt").alias("cnt"),
+        F.sum("sum").alias("sum"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+        F.flatten(F.collect_list("vals")).alias("vals"),
+    )
+
+
+def _finalize_partials(partials: DataFrame) -> DataFrame:
+    """Partials (with value arrays) → ROLLUP_SCHEMA rows (exact p50/p99)."""
+    sorted_vals = F.sort_array(F.col("vals"))
+    return partials.select(
+        "conv_id",
+        "bucket_start",
+        "metric",
+        "cnt",
+        "sum",
+        (F.col("sum") / F.col("cnt")).alias("mean"),
+        "min",
+        "max",
+        _exact_pct(sorted_vals, F.col("cnt"), 0.5).alias("p50"),
+        _exact_pct(sorted_vals, F.col("cnt"), 0.99).alias("p99"),
+    )
+
+
+def rollup_tiers_hierarchical(df: DataFrame) -> dict[str, DataFrame]:
+    """All three tiers from ONE shuffle of raw turns (the 100-TB plan shape).
+
+    ``rollup_tiers`` re-aggregates raw rows once per tier — 3 wide shuffles
+    of the full table. Here raw turns are shuffled exactly once into 1m
+    partials that keep each bucket's value multiset; 1h buckets merge 60 1m
+    partials, 1d buckets merge 24 1h partials. cnt/sum/min/max compose
+    algebraically, and exact percentiles come from the merged multiset
+    (identical values → identical interpolation → identical p50/p99; verified
+    against the per-tier path in tests/test_rollup.py).
+
+    At cluster scale this matters twice: the raw table (with its wide text
+    column) is scanned once instead of three times, and the two coarse tiers
+    shuffle only per-minute partial rows (~raw/row-density), not raw turns.
+    Task memory is bounded by bucket size per (conv, bucket, metric) — a
+    pathological single bucket is the salted path's job (rollup_salted).
+    """
+    derived = with_derived_metrics(df).select("conv_id", "ts", "token_count", "latency_s")
+    p1m = _partials_1m(derived)
+    # The 1m partials feed three consumers (1m finalize, 1h, transitively 1d);
+    # without a persist Spark would recompute the raw shuffle per consumer.
+    p1m = p1m.persist()
+    p1h = _coarsen_partials_exact(p1m, "1h").persist()
+    p1d = _coarsen_partials_exact(p1h, "1d")
+    return {
+        "1m": _finalize_partials(p1m),
+        "1h": _finalize_partials(p1h),
+        "1d": _finalize_partials(p1d),
+    }
 
 
 def rollup_tiers(
