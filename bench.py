@@ -41,7 +41,10 @@ def main() -> None:
     spark = get_spark(
         app_name="transcriptts-bench",
         master=f"local[{cpus}]",
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "32g"),
+        },
     )
 
     timings: dict[str, float] = {}

@@ -40,6 +40,12 @@ def main(argv=None) -> int:
     p_bench = sub.add_parser("bench")
     p_bench.add_argument("--input", required=True)
     p_bench.add_argument("--tiers", default="1m,1h,1d")
+    p_bench.add_argument(
+        "--passes", type=int, default=3,
+        help="timed steady-state passes; min wall is reported (the sandbox "
+        "host has noisy-neighbor variance up to 2x — min ~= quiet-host time)",
+    )
+    p_bench.add_argument("--persist-derived", action="store_true")
 
     args = ap.parse_args(argv)
 
@@ -87,22 +93,28 @@ def main(argv=None) -> int:
         n_turns = df.count()
 
         def run_tiers() -> None:
-            for tier_df in rollup_tiers(df).values():
+            for tier_df in rollup_tiers(df, persist_derived=args.persist_derived).values():
                 tier_df.write.format("noop").mode("overwrite").save()
+            if args.persist_derived:
+                spark.catalog.clearCache()
 
         # untimed warmup pass: JIT/codegen compilation and page cache, so the
-        # timed pass measures steady-state throughput at both core counts
+        # timed passes measure steady-state throughput at both core counts
         run_tiers()
-        t0 = time.time()
-        run_tiers()
-        wall = time.time() - t0
+        walls = []
+        for _ in range(max(args.passes, 1)):
+            t0 = time.time()
+            run_tiers()
+            walls.append(round(time.time() - t0, 3))
+        wall = min(walls)
         cores = spark.sparkContext.defaultParallelism
         print(
             json.dumps(
                 {
                     "turns": n_turns,
                     "tiers": 3,
-                    "wall_sec": round(wall, 3),
+                    "wall_sec": wall,
+                    "wall_sec_all": walls,
                     "turns_per_sec": round(n_turns * 3 / wall, 1),
                     "cores": cores,
                 }

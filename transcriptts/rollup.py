@@ -29,12 +29,16 @@ METRICS = ("token_count", "latency_s")
 
 
 def token_count_col(text: str | Column = "text") -> Column:
-    """Whitespace token count; empty/blank → 0 (derived metric per input_hint)."""
+    """Whitespace token count; empty/blank/null → 0 (derived metric per input_hint).
+
+    Counted as the number of \\S+ runs: identical to
+    len(split(trim(text), '\\s+')) for non-blank text, but regexp_count
+    never materializes the token array — the split version allocates a
+    string array per row, which at 16M rows x 3 tiers dominated young-gen
+    GC and was the single worst scaling drag in the hot path.
+    """
     c = F.col(text) if isinstance(text, str) else text
-    trimmed = F.trim(c)
-    return F.when(F.coalesce(trimmed, F.lit("")) == "", F.lit(0)).otherwise(
-        F.size(F.split(trimmed, r"\s+"))
-    )
+    return F.regexp_count(F.coalesce(c, F.lit("")), F.lit(r"\S+"))
 
 
 def with_derived_metrics(df: DataFrame) -> DataFrame:
