@@ -122,6 +122,16 @@ FROM l GROUP BY 1, 2, 3
 """
 
 
+def _q_rollup_1h_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h tier via the one-raw-shuffle hierarchical path (1m partials with
+    value multisets → merged exactly). Shares rollup_1h's oracle: the driver
+    value-hash proves the hierarchical merge equals a direct aggregation."""
+    from transcriptts.rollup import rollup_tiers_hierarchical
+
+    tiers = rollup_tiers_hierarchical(_transcripts(spark, sf_dir))
+    return _round6(tiers["1h"], "sum", "mean", "min", "max", "p50", "p99")
+
+
 def _q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptts.rollup import downsample
 
@@ -683,6 +693,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1m": _q_rollup("1m"),
         "rollup_1h": _q_rollup("1h"),
         "rollup_1d": _q_rollup("1d"),
+        "rollup_1h_hierarchical": _q_rollup_1h_hierarchical,
         "downsample_k4": _q_downsample,
         "segment_stats_k8": _q_segment_stats,
         "gapfill_locf_interp_1h": _q_gapfill,
@@ -717,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": _sql_rollup("minute"),
         "rollup_1h": _sql_rollup("hour"),
         "rollup_1d": _sql_rollup("day"),
+        "rollup_1h_hierarchical": _sql_rollup("hour"),
         "downsample_k4": _SQL_DOWNSAMPLE,
         "segment_stats_k8": _SQL_SEGMENT_STATS,
         "gapfill_locf_interp_1h": _SQL_GAPFILL,
