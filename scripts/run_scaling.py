@@ -71,7 +71,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=4_000_000)
     ap.add_argument("--rounds", type=int, default=5)
-    ap.add_argument("--passes", type=int, default=1)
+    ap.add_argument("--passes", type=int, default=1,
+                    help="timed passes for the LOW leg")
+    ap.add_argument(
+        "--passes-high", type=int, default=None,
+        help="timed passes for the HIGH leg (default: factor x passes, so both "
+        "legs get ~equal wall-clock exposure; a short high leg sitting inside "
+        "one noise burst would otherwise bias the ratio down)")
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     args = ap.parse_args()
@@ -95,14 +101,16 @@ def main() -> None:
     # back-to-back (adjacent host-noise windows) and yields one ratio;
     # the reported efficiency is the MEDIAN across rounds.
     factor = args.high / args.low
+    passes_high = args.passes_high or int(args.passes * factor)
     rounds = []
     lo_best = hi_best = None
     for i in range(args.rounds):
         pair = {}
         for cores in (args.low, args.high):
+            n_passes = args.passes if cores == args.low else passes_high
             r = spark_submit(
                 f"local[{cores}]", zip_path,
-                ["bench", "--input", data_path, "--passes", str(args.passes)],
+                ["bench", "--input", data_path, "--passes", str(n_passes)],
                 4 * args.high,
             )
             print(f"round {i} local[{cores}]:", r, file=sys.stderr)
@@ -159,9 +167,11 @@ input, with an IDENTICAL work decomposition (shuffle partitions fixed at
 at one level against a best-of-N at the other taken minutes apart measures
 host weather, not scaling. Each round instead runs local[{args.low}] then
 local[{args.high}] back-to-back (adjacent noise windows; each JVM does one
-untimed warmup pass + {args.passes} timed pass(es)) and yields one
-efficiency ratio; the reported figure is the MEDIAN over {args.rounds}
-rounds.
+untimed warmup pass, then {args.passes} timed pass(es) at local[{args.low}]
+vs {passes_high} at local[{args.high}] — equal wall-clock exposure per leg,
+min wall per leg — so a noise burst cannot sit entirely inside the shorter
+leg) and yields one efficiency ratio; the reported figure is the MEDIAN
+over {args.rounds} rounds.
 
 | round | local[{args.low}] wall s | local[{args.high}] wall s | local[{args.low}] turns/s | local[{args.high}] turns/s | efficiency |
 |---|---|---|---|---|---|
