@@ -124,12 +124,35 @@ FROM l GROUP BY 1, 2, 3
 
 def _q_rollup_1h_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1h tier via the one-raw-shuffle hierarchical path (1m partials with
-    value multisets → merged exactly). Shares rollup_1h's oracle: the driver
-    value-hash proves the hierarchical merge equals a direct aggregation."""
+    value multisets → merged exactly). `sum`/`mean` are deterministic folds
+    over the sorted multiset (rollup._finalize_partials), so the oracle
+    reproduces them bit-for-bit with the same sorted fold. Single-tier
+    request → no partials are cached (nothing to unpersist)."""
     from transcriptts.rollup import rollup_tiers_hierarchical
 
-    tiers = rollup_tiers_hierarchical(_transcripts(spark, sf_dir))
+    tiers = rollup_tiers_hierarchical(_transcripts(spark, sf_dir), tiers=("1h",))
     return _round6(tiers["1h"], "sum", "mean", "min", "max", "p50", "p99")
+
+
+# Same rows as _sql_rollup('hour'), but sum/mean via the identical
+# sorted-multiset left fold the hierarchical path uses (list_reduce seeds
+# with vs[1]; Spark's F.aggregate seeds 0.0 and 0.0+x == x exactly).
+_SQL_ROLLUP_HIER = f"""
+WITH {_T_SQL}, {_D_SQL}, {_LONG_SQL},
+g AS (
+  SELECT conv_id, cast(date_trunc('hour', ts) AS timestamp) AS bucket_start, metric,
+         count(*) AS cnt, min(value) AS mn, max(value) AS mx,
+         quantile_cont(value, 0.5) AS q50, quantile_cont(value, 0.99) AS q99,
+         list(value ORDER BY value) AS vs
+  FROM l GROUP BY 1, 2, 3
+)
+SELECT conv_id, bucket_start, metric, cnt,
+       {_r6('list_reduce(vs, (acc, x) -> acc + x)', 'sum')},
+       {_r6('list_reduce(vs, (acc, x) -> acc + x) / cnt', 'mean')},
+       {_r6('mn', 'min')}, {_r6('mx', 'max')},
+       {_r6('q50', 'p50')}, {_r6('q99', 'p99')}
+FROM g
+"""
 
 
 def _q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,7 +751,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": _sql_rollup("minute"),
         "rollup_1h": _sql_rollup("hour"),
         "rollup_1d": _sql_rollup("day"),
-        "rollup_1h_hierarchical": _sql_rollup("hour"),
+        "rollup_1h_hierarchical": _SQL_ROLLUP_HIER,
         "downsample_k4": _SQL_DOWNSAMPLE,
         "segment_stats_k8": _SQL_SEGMENT_STATS,
         "gapfill_locf_interp_1h": _SQL_GAPFILL,

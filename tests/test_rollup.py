@@ -155,5 +155,15 @@ def test_hierarchical_tiers_match_per_tier_rollup(spark):
             assert r["cnt"] == p["cnt"], (tier, r, p)
             for c in ("sum", "mean", "min", "max", "p50", "p99"):
                 assert r[c] == pytest.approx(p[c], abs=1e-9), (tier, c, r, p)
-    for d in hier.values():
-        d.unpersist()
+    hier.unpersist()
+    assert hier.persisted == []
+
+
+def test_hierarchical_single_tier_persists_nothing(spark):
+    from transcriptts.rollup import rollup_tiers_hierarchical
+
+    tbl = synth_transcripts_arrow(n_convs=5, metronome_turns=50, seed=3)
+    hier = rollup_tiers_hierarchical(spark.createDataFrame(tbl.to_pandas()), tiers=("1h",))
+    assert list(hier) == ["1h"]
+    assert hier.persisted == []
+    assert hier["1h"].count() > 0

@@ -218,7 +218,9 @@ def coarsen_partials(fine: DataFrame, tier: str) -> DataFrame:
     in_type = dict(fine.dtypes)["bucket_start"]
     bucket = (
         F.timestamp_seconds(
-            (F.unix_seconds(F.col("bucket_start").cast("timestamp")) / secs).cast("long") * secs
+            # floor division (not truncate-toward-zero) so pre-1970 negative
+            # epochs land in the same bucket as F.window's tumbling windows
+            F.floor(F.unix_seconds(F.col("bucket_start").cast("timestamp")) / secs).cast("long") * secs
         )
         .cast(in_type)  # keep NTZ inputs NTZ (UTC session → same wall clock)
         .alias("bucket_start")
@@ -251,13 +253,18 @@ def _exact_pct(vals: Column, cnt: Column, p: float) -> Column:
 
     pos = p*(n-1) (the same convention as Spark's exact ``percentile`` and
     DuckDB's quantile_cont; reference median = p=0.5 special case,
-    StatisticalFunctions.helpers.cs:32-45). 1-based element_at."""
+    StatisticalFunctions.helpers.cs:32-45). 1-based element_at.
+
+    Uses the BUILTIN's exact two-sided form `(hi-pos)*a + (pos-lo)*b`
+    (Percentile.scala getPercentile) rather than `a + frac*(b-a)`: the two
+    differ in the last ulp, and matching the builtin keeps every percentile
+    in the engine — direct, salted, or hierarchical — bit-identical."""
     pos = F.lit(p) * (cnt - 1).cast("double")
-    lo = F.floor(pos).cast("int")
-    frac = pos - lo.cast("double")
-    a = F.element_at(vals, lo + 1)
-    b = F.element_at(vals, F.least(lo + F.lit(2), cnt.cast("int")))
-    return a + frac * (b - a)
+    lo = F.floor(pos)
+    hi = F.ceil(pos)
+    a = F.element_at(vals, lo.cast("int") + 1)
+    b = F.element_at(vals, hi.cast("int") + 1)
+    return F.when(hi == lo, a).otherwise((hi - pos) * a + (pos - lo) * b)
 
 
 def _partials_1m(derived: DataFrame) -> DataFrame:
@@ -272,7 +279,6 @@ def _partials_1m(derived: DataFrame) -> DataFrame:
         v = F.col(m).cast("double")
         aggs += [
             F.count(v).alias(f"{m}_cnt"),
-            F.sum(v).alias(f"{m}_sum"),
             F.min(v).alias(f"{m}_min"),
             F.max(v).alias(f"{m}_max"),
             F.collect_list(v).alias(f"{m}_vals"),
@@ -283,7 +289,6 @@ def _partials_1m(derived: DataFrame) -> DataFrame:
             F.struct(
                 F.lit(m).alias("metric"),
                 F.col(f"{m}_cnt").alias("cnt"),
-                F.col(f"{m}_sum").alias("sum"),
                 F.col(f"{m}_min").alias("min"),
                 F.col(f"{m}_max").alias("max"),
                 F.col(f"{m}_vals").alias("vals"),
@@ -294,7 +299,7 @@ def _partials_1m(derived: DataFrame) -> DataFrame:
     return (
         wide.select("conv_id", F.col("w.start").alias("bucket_start"), F.explode(per_metric).alias("s"))
         .where(F.col("s.cnt") > 0)
-        .select("conv_id", "bucket_start", "s.metric", "s.cnt", "s.sum", "s.min", "s.max", "s.vals")
+        .select("conv_id", "bucket_start", "s.metric", "s.cnt", "s.min", "s.max", "s.vals")
     )
 
 
@@ -308,14 +313,15 @@ def _coarsen_partials_exact(partials: DataFrame, tier: str) -> DataFrame:
     in_type = dict(partials.dtypes)["bucket_start"]
     bucket = (
         F.timestamp_seconds(
-            (F.unix_seconds(F.col("bucket_start").cast("timestamp")) / secs).cast("long") * secs
+            # floor division (not truncate-toward-zero) so pre-1970 negative
+            # epochs land in the same bucket as F.window's tumbling windows
+            F.floor(F.unix_seconds(F.col("bucket_start").cast("timestamp")) / secs).cast("long") * secs
         )
         .cast(in_type)
         .alias("bucket_start")
     )
     return partials.groupBy("conv_id", bucket, "metric").agg(
         F.sum("cnt").alias("cnt"),
-        F.sum("sum").alias("sum"),
         F.min("min").alias("min"),
         F.max("max").alias("max"),
         F.flatten(F.collect_list("vals")).alias("vals"),
@@ -323,15 +329,26 @@ def _coarsen_partials_exact(partials: DataFrame, tier: str) -> DataFrame:
 
 
 def _finalize_partials(partials: DataFrame) -> DataFrame:
-    """Partials (with value arrays) → ROLLUP_SCHEMA rows (exact p50/p99)."""
+    """Partials (with value arrays) → ROLLUP_SCHEMA rows (exact p50/p99).
+
+    `sum` is a left fold over the SORTED value multiset rather than a
+    re-addition of per-fine-bucket partial sums: fp addition is not
+    associative, so the partial-sum order (which depends on shuffle
+    nondeterminism and differs from any direct aggregation) could land a
+    1-ulp away from a direct sum and straddle a downstream rounding
+    boundary. Folding the sorted multiset makes `sum`/`mean` a pure
+    function of the bucket's value multiset — the same number every run
+    and the same number any other engine computes with the same fold.
+    """
     sorted_vals = F.sort_array(F.col("vals"))
+    ssum = F.aggregate(sorted_vals, F.lit(0.0), lambda acc, x: acc + x)
     return partials.select(
         "conv_id",
         "bucket_start",
         "metric",
         "cnt",
-        "sum",
-        (F.col("sum") / F.col("cnt")).alias("mean"),
+        ssum.alias("sum"),
+        (ssum / F.col("cnt")).alias("mean"),
         "min",
         "max",
         _exact_pct(sorted_vals, F.col("cnt"), 0.5).alias("p50"),
@@ -339,7 +356,23 @@ def _finalize_partials(partials: DataFrame) -> DataFrame:
     )
 
 
-def rollup_tiers_hierarchical(df: DataFrame) -> dict[str, DataFrame]:
+class HierarchicalRollup(dict):
+    """Tier name → finalized DataFrame, plus an unpersist handle for the
+    intermediate partials cached by rollup_tiers_hierarchical."""
+
+    def __init__(self, tiers: dict[str, DataFrame], persisted: list[DataFrame]):
+        super().__init__(tiers)
+        self.persisted = persisted
+
+    def unpersist(self) -> None:
+        for p in self.persisted:
+            p.unpersist()
+        self.persisted = []
+
+
+def rollup_tiers_hierarchical(
+    df: DataFrame, tiers: tuple[str, ...] = ("1m", "1h", "1d"), persist: bool = True
+) -> "HierarchicalRollup":
     """All three tiers from ONE shuffle of raw turns (the 100-TB plan shape).
 
     ``rollup_tiers`` re-aggregates raw rows once per tier — 3 wide shuffles
@@ -358,16 +391,22 @@ def rollup_tiers_hierarchical(df: DataFrame) -> dict[str, DataFrame]:
     """
     derived = with_derived_metrics(df).select("conv_id", "ts", "token_count", "latency_s")
     p1m = _partials_1m(derived)
-    # The 1m partials feed three consumers (1m finalize, 1h, transitively 1d);
-    # without a persist Spark would recompute the raw shuffle per consumer.
-    p1m = p1m.persist()
-    p1h = _coarsen_partials_exact(p1m, "1h").persist()
+    persisted: list[DataFrame] = []
+    # The 1m partials feed up to three consumers (1m finalize, 1h,
+    # transitively 1d); without a persist Spark would recompute the raw
+    # shuffle per consumer. With a single requested tier there is exactly
+    # one consumer per stage, so nothing is cached (and nothing leaks).
+    multi = len(tiers) > 1
+    if persist and multi:
+        p1m = p1m.persist()
+        persisted.append(p1m)
+    p1h = _coarsen_partials_exact(p1m, "1h")
+    if persist and multi and "1d" in tiers and "1h" in tiers:
+        p1h = p1h.persist()
+        persisted.append(p1h)
     p1d = _coarsen_partials_exact(p1h, "1d")
-    return {
-        "1m": _finalize_partials(p1m),
-        "1h": _finalize_partials(p1h),
-        "1d": _finalize_partials(p1d),
-    }
+    out = {"1m": _finalize_partials(p1m), "1h": _finalize_partials(p1h), "1d": _finalize_partials(p1d)}
+    return HierarchicalRollup({t: out[t] for t in tiers}, persisted)
 
 
 def rollup_tiers_union(df: DataFrame) -> DataFrame:
