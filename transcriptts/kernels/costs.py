@@ -46,6 +46,23 @@ class CostFunction:
     def cost(self, start: int, end: int) -> float:
         raise NotImplementedError
 
+    def cost_batch(self, starts: np.ndarray, end: int) -> np.ndarray:
+        """cost(s, end) for every s in `starts` (all with end-s >= 1).
+
+        The PELT DP inner loop runs on this: prefix-sum costs override it
+        with one numpy expression over the whole candidate array. A cost
+        failure (the scalar path's ValueError/FloatingPointError, i.e. the
+        reference's SegmentCostException) is encoded as NaN — the DP skips
+        NaN candidates exactly as the scalar loop skipped raising ones.
+        """
+        out = np.empty(len(starts))
+        for i, s in enumerate(starts):
+            try:
+                out[i] = self.cost(int(s), end)
+            except (ValueError, FloatingPointError):
+                out[i] = np.nan
+        return out
+
     def likelihood_metric(self, start: int, end: int) -> float:
         raise NotImplementedError(f"{type(self).__name__} has no likelihood metric")
 
@@ -81,6 +98,13 @@ class L2Cost(CostFunction):
         seg_sum = self._s[:, end] - self._s[:, start]
         seg_sum2 = self._s2[:, end] - self._s2[:, start]
         return float(np.sum(seg_sum2 - seg_sum * seg_sum / length))
+
+    def cost_batch(self, starts, end):
+        starts = np.asarray(starts, dtype=np.int64)
+        lengths = (end - starts).astype(np.float64)
+        seg_sum = self._s[:, end][:, None] - self._s[:, starts]
+        seg_sum2 = self._s2[:, end][:, None] - self._s2[:, starts]
+        return np.sum(seg_sum2 - seg_sum * seg_sum / lengths, axis=0)
 
 
 class L1Cost(CostFunction):
@@ -150,6 +174,16 @@ class RBFCost(CostFunction):
             total += length - s / length
         return float(total)
 
+    def cost_batch(self, starts, end):
+        starts = np.asarray(starts, dtype=np.int64)
+        lengths = (end - starts).astype(np.float64)
+        out = np.zeros(len(starts))
+        for dim in range(self._sat.shape[0]):
+            sat = self._sat[dim]
+            s = sat[end, end] - sat[starts, end] - sat[end, starts] + sat[starts, starts]
+            out += lengths - s / lengths
+        return out
+
 
 class GaussianCost(CostFunction):
     """n * ln(max(SSE/n, 1e-10)) per dimension — MLE variance with the
@@ -176,6 +210,16 @@ class GaussianCost(CostFunction):
         return np.inf if not np.isfinite(total) else total
 
     cost = likelihood_metric
+
+    def cost_batch(self, starts, end):
+        starts = np.asarray(starts, dtype=np.int64)
+        lengths = (end - starts).astype(np.float64)
+        seg_sum = self._s[:, end][:, None] - self._s[:, starts]
+        seg_sum2 = self._s2[:, end][:, None] - self._s2[:, starts]
+        sse = np.maximum(seg_sum2 - seg_sum * seg_sum / lengths, 0.0)
+        var = np.maximum(sse / lengths, VARIANCE_EPSILON)
+        total = lengths * np.log(var).sum(axis=0)
+        return np.where(np.isfinite(total), total, np.inf)
 
     def segment_param_count(self, segment_length):
         return 2 * self._d  # mean + variance per dimension (:166-176)
@@ -210,6 +254,18 @@ class PoissonCost(CostFunction):
 
     cost = likelihood_metric
 
+    def cost_batch(self, starts, end):
+        starts = np.asarray(starts, dtype=np.int64)
+        lengths = (end - starts).astype(np.float64)
+        S = self._s[:, end][:, None] - self._s[:, starts]
+        out = np.where(
+            np.abs(S) <= DEFAULT_EPSILON,
+            0.0,
+            2.0 * (S - S * np.log(np.maximum(S, 1e-300)) + S * np.log(lengths)),
+        )
+        total = out.sum(axis=0)
+        return np.where(np.isfinite(total), total, np.inf)
+
     def segment_param_count(self, segment_length):
         return 1 * self._d  # rate lambda per dimension (:190-200)
 
@@ -241,6 +297,22 @@ class BernoulliCost(CostFunction):
         return np.inf if not np.isfinite(total) else float(total)
 
     cost = likelihood_metric
+
+    def cost_batch(self, starts, end):
+        starts = np.asarray(starts, dtype=np.int64)
+        lengths = (end - starts).astype(np.float64)
+        S = self._s[:, end][:, None] - self._s[:, starts]
+        F_ = lengths - S
+        degenerate = (np.abs(S) <= DEFAULT_EPSILON) | (np.abs(S - lengths) <= DEFAULT_EPSILON)
+        Ss = np.where(degenerate, 1.0, S)
+        Fs = np.where(degenerate, 1.0, F_)
+        term = np.where(
+            degenerate,
+            0.0,
+            -2.0 * (Ss * np.log(Ss) + Fs * np.log(Fs) - lengths * np.log(lengths)),
+        )
+        total = term.sum(axis=0)
+        return np.where(np.isfinite(total), total, np.inf)
 
     def segment_param_count(self, segment_length):
         return 1 * self._d
@@ -287,6 +359,25 @@ class BinomialCost(CostFunction):
         return max(0.0, float(metric))
 
     cost = likelihood_metric
+
+    def cost_batch(self, starts, end):
+        starts = np.asarray(starts, dtype=np.int64)
+        K = self._sk[end] - self._sk[starts]
+        N = self._st[end] - self._st[starts]
+        degenerate = (
+            (np.abs(N) <= DEFAULT_EPSILON)
+            | (np.abs(K) <= DEFAULT_EPSILON)
+            | (np.abs(K - N) <= DEFAULT_EPSILON)
+        )
+
+        def xlogx(v):
+            safe = np.where(np.abs(v) <= DEFAULT_EPSILON, 1.0, v)
+            return np.where(np.abs(v) <= DEFAULT_EPSILON, 0.0, safe * np.log(safe))
+
+        Ks, Ns = np.where(degenerate, 1.0, K), np.where(degenerate, 2.0, N)
+        metric = -(xlogx(Ks) + xlogx(Ns - Ks) - xlogx(Ns))
+        out = np.where(degenerate, 0.0, np.maximum(0.0, metric))
+        return np.where(np.isfinite(out), out, np.inf)
 
     def segment_param_count(self, segment_length):
         return 1  # success probability p (:214-225)

@@ -34,42 +34,51 @@ from .costs import CostFunction, make_cost
 def pelt_segment(
     cost_fn: CostFunction, n: int, penalty: float, min_size: int = 1, jump: int = 1
 ) -> np.ndarray:
-    """Core DP; returns CP[] (optimal last changepoint per endpoint)."""
+    """Core DP; returns CP[] (optimal last changepoint per endpoint).
+
+    Vectorized: per endpoint t the candidate scan AND the pruning mask are
+    single numpy expressions over the admissible array (costs come from
+    CostFunction.cost_batch — one prefix-sum gather for the whole array).
+    Semantics are identical to the reference's sequential loop
+    (PELTAlgorithm.cs:224-338), including:
+    - tie-breaking: the scan walks prev DESCENDING with strict `<`, so among
+      equal candidates the LARGEST prev wins → last argmin in ascending
+      order;
+    - cost failures (NaN from cost_batch == SegmentCostException): skipped
+      as candidates; kept by pruning while F[s] is finite (:247-257, 315);
+    - the Jump hop quirk (:258-266): when Jump > 1 and the scan reaches an
+      ADMISSIBLE prev in (0, jump) while 0 is admissible, 0 is also visited.
+    """
     F = np.full(n + 1, np.inf)
     F[0] = -penalty
     CP = np.zeros(n + 1, dtype=np.int64)
-    admissible = {0}
+    adm = np.zeros(1, dtype=np.int64)  # sorted ascending; starts as {0}
 
-    # cache cost(s, t) within one endpoint iteration (computed for both the
-    # candidate scan and the pruning pass)
     for t in range(min_size, n + 1):
-        cache: dict[int, float] = {}
+        r = t - min_size
+        k = int(np.searchsorted(adm, r, side="right"))
+        mature = adm[:k]  # admissible s with t - s >= min_size
+        costs = cost_fn.cost_batch(mature, t) if k else np.empty(0)
 
-        def seg_cost(s: int) -> float:
-            if s not in cache:
-                cache[s] = cost_fn.cost(s, t)
-            return cache[s]
-
+        # --- candidate scan -------------------------------------------------
+        if jump <= 1:
+            elig_idx = np.arange(k)
+        else:
+            mask = ((r - mature) % jump) == 0
+            m = r % jump
+            if m > 0 and adm.size and adm[0] == 0:
+                pos = int(np.searchsorted(mature, m))
+                if pos < k and mature[pos] == m:
+                    mask[0] = True  # the hop visits 0 (mature[0] == 0 here)
+            elig_idx = np.nonzero(mask)[0]
         best = np.inf
         best_cp = 0
-        prev = t - min_size
-        while prev >= 0:
-            if prev in admissible:
-                try:
-                    cand = F[prev] + seg_cost(prev) + penalty
-                    if cand < best:
-                        best = cand
-                        best_cp = prev
-                except (ValueError, FloatingPointError):
-                    pass  # cost failed for this candidate — skip (:247-257)
-                # reference quirk (:258-266): when Jump > 1 would step past 0
-                # FROM AN ADMISSIBLE CANDIDATE, hop so the next decrement
-                # lands exactly on 0 (non-admissible candidates `continue`
-                # past this block in the C# loop)
-                if not (jump <= 1 or prev <= 0 or prev - jump >= 0):
-                    if 0 in admissible and t >= min_size:
-                        prev = jump
-            prev -= jump
+        if elig_idx.size:
+            cands = F[mature[elig_idx]] + costs[elig_idx] + penalty
+            vc = np.where(np.isnan(cands), np.inf, cands)
+            j = int(vc.size - 1 - np.argmin(vc[::-1]))  # last min → largest prev
+            best = float(vc[j])
+            best_cp = int(mature[elig_idx[j]])
 
         if math.isinf(best):
             F[t] = np.inf
@@ -78,20 +87,18 @@ def pelt_segment(
             F[t] = best
             CP[t] = best_cp
 
-        nxt = set()
-        for s in admissible:
-            if t - s >= min_size:
-                try:
-                    if F[s] + seg_cost(s) <= F[t]:
-                        nxt.add(s)
-                except (ValueError, FloatingPointError):
-                    if math.isfinite(F[s]):
-                        nxt.add(s)
-            elif math.isfinite(F[s]):
-                nxt.add(s)
+        # --- pruning --------------------------------------------------------
+        parts = []
+        if k:
+            keep_mature = np.where(
+                np.isnan(costs), np.isfinite(F[mature]), F[mature] + costs <= F[t]
+            )
+            parts.append(mature[keep_mature])
+        young = adm[k:]
+        parts.append(young[np.isfinite(F[young])])
         if math.isfinite(F[t]):
-            nxt.add(t)
-        admissible = nxt
+            parts.append(np.array([t], dtype=np.int64))
+        adm = np.concatenate(parts)  # stays sorted: mature < young < t
     return CP
 
 
