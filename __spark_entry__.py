@@ -134,13 +134,14 @@ def _q_rollup_1h_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(tiers["1h"], "sum", "mean", "min", "max", "p50", "p99")
 
 
-# Same rows as _sql_rollup('hour'), but sum/mean via the identical
-# sorted-multiset left fold the hierarchical path uses (list_reduce seeds
-# with vs[1]; Spark's F.aggregate seeds 0.0 and 0.0+x == x exactly).
-_SQL_ROLLUP_HIER = f"""
+# Same rows as _sql_rollup(trunc), but sum/mean via the identical
+# sorted-multiset left fold the hierarchical/salted paths use (list_reduce
+# seeds with vs[1]; Spark's F.aggregate seeds 0.0 and 0.0+x == x exactly).
+def _sql_rollup_fold(trunc: str) -> str:
+    return f"""
 WITH {_T_SQL}, {_D_SQL}, {_LONG_SQL},
 g AS (
-  SELECT conv_id, cast(date_trunc('hour', ts) AS timestamp) AS bucket_start, metric,
+  SELECT conv_id, cast(date_trunc('{trunc}', ts) AS timestamp) AS bucket_start, metric,
          count(*) AS cnt, min(value) AS mn, max(value) AS mx,
          quantile_cont(value, 0.5) AS q50, quantile_cont(value, 0.99) AS q99,
          list(value ORDER BY value) AS vs
@@ -153,6 +154,16 @@ SELECT conv_id, bucket_start, metric, cnt,
        {_r6('q50', 'p50')}, {_r6('q99', 'p99')}
 FROM g
 """
+
+
+def _q_rollup_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1m tier via the skew-hardened two-phase salted path. Shares the
+    sorted-fold oracle with the hierarchical path: the value-hash proves the
+    salted merge equals a direct aggregation."""
+    from transcriptts.rollup import rollup_salted, with_derived_metrics
+
+    r = rollup_salted(with_derived_metrics(_transcripts(spark, sf_dir)), "1m", salt_buckets=8)
+    return _round6(r, "sum", "mean", "min", "max", "p50", "p99")
 
 
 def _q_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,6 +328,38 @@ def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_cusum(_standardized_signal(spark, sf_dir), threshold_factor=3.0)
 
 
+# CUSUM is a fold-with-reset: a recursive CTE carries (high, low) through the
+# z-scored series and emits the alarm index whenever either sum crosses ±3,
+# resetting both — the exact CUSUMAlgorithm.cs:60-85 scan.
+_SQL_CUSUM = f"""
+WITH RECURSIVE {_T_SQL},
+z AS (
+  SELECT conv_id, turn_idx,
+         (value - avg(value) OVER w) / stddev_pop(value) OVER w AS v
+  FROM t WINDOW w AS (PARTITION BY conv_id)
+),
+s AS (SELECT conv_id, list(v ORDER BY turn_idx) AS vs FROM z GROUP BY conv_id),
+rec AS (
+  SELECT conv_id, vs, len(vs) AS n, 0 AS i,
+         0.0::DOUBLE AS high, 0.0::DOUBLE AS low, NULL::BIGINT AS alarm
+  FROM s WHERE len(vs) >= 2
+  UNION ALL
+  SELECT conv_id, vs, n, i + 1,
+         CASE WHEN hit THEN 0.0 ELSE nh END,
+         CASE WHEN hit THEN 0.0 ELSE nl END,
+         CASE WHEN hit THEN i + 1 ELSE NULL END
+  FROM (
+    SELECT conv_id, vs, n, i,
+           greatest(0.0, high + vs[i + 2]) AS nh,
+           least(0.0, low + vs[i + 2]) AS nl,
+           (greatest(0.0, high + vs[i + 2]) > 3.0 OR least(0.0, low + vs[i + 2]) < -3.0) AS hit
+    FROM rec WHERE i < n - 1
+  )
+)
+SELECT conv_id, alarm AS changepoint_idx FROM rec WHERE alarm IS NOT NULL
+"""
+
+
 def _q_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptts.detect import detect_changepoints, segment_stats
 
@@ -333,6 +376,84 @@ def _q_penalty_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         _signal(spark, sf_dir), cost="gaussian", method="bic", min_size=3, num_steps=20
     ).select("conv_id", "selected_penalty", "n_breakpoints")
     return _round6(out, "selected_penalty")
+
+
+def _q_penalty_selection_aicc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.detect import select_penalties
+
+    out = select_penalties(
+        _signal(spark, sf_dir), cost="gaussian", method="aicc", min_size=3, num_steps=20
+    ).select("conv_id", "selected_penalty", "n_breakpoints")
+    return _round6(out, "selected_penalty")
+
+
+def _q_pelt_cost(cost: str, penalty: float, **cost_params):
+    """PELT over the per-conv z-scored signal with a specific cost model —
+    puts every cost function under the driver's eye (rows-only; the DP is
+    not SQL-expressible). Matches SignalSharp.Tests/CostFunctions/*.cs
+    semantics via the kernels' golden tests."""
+
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from transcriptts.detect import detect_changepoints
+
+        return detect_changepoints(
+            _standardized_signal(spark, sf_dir), penalty=penalty, cost=cost, min_size=3, **cost_params
+        )
+
+    return q
+
+
+def _q_pelt_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson cost over round(value) — a non-negative integer count series
+    (events.value is strictly positive in the testdata)."""
+    from transcriptts.detect import detect_changepoints
+
+    d = _signal(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.round("value", 0).cast("double").alias("value")
+    )
+    return detect_changepoints(d, penalty=20.0, cost="poisson", min_size=3)
+
+
+def _q_pelt_bernoulli(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bernoulli cost over the above-zero indicator of the z-scored signal."""
+    from transcriptts.detect import detect_changepoints
+
+    s = _standardized_signal(spark, sf_dir).select(
+        "conv_id", "turn_idx", F.when(F.col("value") > 0, 1.0).otherwise(0.0).alias("value")
+    )
+    return detect_changepoints(s, penalty=2.0, cost="bernoulli", min_size=3)
+
+
+def _q_pelt_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binomial cost: the 2-row (successes; trials) input shape — trials
+    n_i = 1 + turn_idx % 3, successes k_i = n_i when value is above the
+    conversation median else 0."""
+    import pandas as pd
+
+    from transcriptts.kernels.pelt import pelt
+
+    w = Window.partitionBy("conv_id")
+    s = _signal(spark, sf_dir).select(
+        "conv_id",
+        "turn_idx",
+        (F.lit(1) + F.col("turn_idx") % 3).cast("double").alias("trials"),
+        F.when(
+            F.col("value") > F.percentile(F.col("value"), F.lit(0.5)).over(w),
+            (F.lit(1) + F.col("turn_idx") % 3).cast("double"),
+        )
+        .otherwise(0.0)
+        .alias("successes"),
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("turn_idx")
+        mat = np.vstack([pdf["successes"].to_numpy(float), pdf["trials"].to_numpy(float)])
+        bps = pelt(mat, penalty=1.0, cost="binomial", min_size=3)
+        return pd.DataFrame({"conv_id": pdf["conv_id"].iloc[0], "breakpoint_idx": bps})
+
+    return s.groupBy("conv_id").applyInPandas(run, "conv_id string, breakpoint_idx long")
 
 
 # --- forecasting (SURVEY §2.5) -----------------------------------------------
@@ -381,6 +502,86 @@ def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(
         forecast(_signal(spark, sf_dir), 3, "holt", alpha=0.5, beta=0.5), "yhat"
     )
+
+
+def _sql_holt_additive(phi: float = 1.0, horizon: int = 3, signal: str = "value") -> str:
+    """Holt additive fold as a recursive CTE: state (L, T) seeded L0=x[0],
+    T0=x[1]-x[0], then one update per point INCLUDING x[0] again (the
+    HoltMethodExtrapolator.cs:118-148 quirk). alpha=beta=0.5 so every
+    coefficient is an exact binary fraction; damped phi_sum coefficients are
+    precomputed HERE with the kernel's own accumulation so pow() never runs
+    in SQL."""
+    if abs(phi - 1.0) <= 1e-9:
+        lp = "(L + T)"  # phi * T with phi == 1.0 is exactly T
+        tp = "0.5 * T"
+        phi_sums = [float(h) for h in range(1, horizon + 1)]
+    else:
+        lp = f"(L + {phi!r} * T)"
+        tp = f"(0.5 * {phi!r}) * T"
+        phi_sums, acc = [], 0.0
+        for h in range(1, horizon + 1):
+            acc = acc + phi**h  # same accumulation as kernels/forecast.py:171
+            phi_sums.append(acc)
+    fc = " UNION ALL ".join(
+        f"SELECT conv_id, {h} AS h, L + {phi_sums[h - 1]!r} * T AS raw FROM f"
+        for h in range(1, horizon + 1)
+    )
+    return f"""
+WITH RECURSIVE {_T_SQL}, {_D_SQL},
+s AS (SELECT conv_id, list({signal} ORDER BY turn_idx) AS vs FROM d GROUP BY conv_id),
+rec AS (
+  SELECT conv_id, vs, len(vs) AS n, 1 AS i,
+         vs[1]::DOUBLE AS L, (vs[2] - vs[1])::DOUBLE AS T
+  FROM s WHERE len(vs) >= 2
+  UNION ALL
+  SELECT conv_id, vs, n, i + 1,
+         0.5 * vs[i] + 0.5 * {lp},
+         0.5 * ((0.5 * vs[i] + 0.5 * {lp}) - L) + {tp}
+  FROM rec WHERE i <= n
+),
+f AS (SELECT conv_id, L, T FROM rec WHERE i = n + 1),
+fc AS ({fc})
+SELECT conv_id, cast(h AS int) AS h, {_r6('raw', 'yhat')} FROM fc
+"""
+
+
+def _q_holt_damped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.forecast import forecast
+
+    return _round6(
+        forecast(_signal(spark, sf_dir), 3, "holt", alpha=0.5, beta=0.5, damp_trend=True, phi=0.5),
+        "yhat",
+    )
+
+
+def _q_holt_mul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative Holt over the strictly-positive token_count+1 series."""
+    from transcriptts.forecast import forecast
+    from transcriptts.rollup import with_derived_metrics
+
+    d = with_derived_metrics(_transcripts(spark, sf_dir)).select(
+        "conv_id", "turn_idx", (F.col("token_count") + 1).cast("double").alias("value")
+    )
+    return _round6(forecast(d, 3, "holt", alpha=0.5, beta=0.5, trend_type="multiplicative"), "yhat")
+
+
+_SQL_HOLT_MUL = f"""
+WITH RECURSIVE {_T_SQL}, {_D_SQL},
+s AS (SELECT conv_id, list(token_count + 1 ORDER BY turn_idx) AS vs FROM d GROUP BY conv_id),
+rec AS (
+  SELECT conv_id, vs, len(vs) AS n, 1 AS i,
+         vs[1]::DOUBLE AS L, (vs[2] / vs[1])::DOUBLE AS T
+  FROM s WHERE len(vs) >= 2
+  UNION ALL
+  SELECT conv_id, vs, n, i + 1,
+         0.5 * vs[i] + 0.5 * (L * T),
+         0.5 * ((0.5 * vs[i] + 0.5 * (L * T)) / L) + 0.5 * T
+  FROM rec WHERE i <= n
+),
+f AS (SELECT conv_id, L, T FROM rec WHERE i = n + 1)
+SELECT conv_id, cast(h AS int) AS h, {_r6('L * power(T, h * 1.0)', 'yhat')}
+FROM f, unnest(generate_series(1, 3)) AS u(h)
+"""
 
 
 # --- cold-tier compression (north-star addition) ------------------------------
@@ -572,10 +773,14 @@ WHERE len(list_intersect(da.shl, db.shl)) * 1.0 /
 
 
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exactness baseline with an EXPLICIT small query frame
+    (every 5th vector) — the corpus never broadcasts; self-similarity at
+    scale is ann_lsh_topk's job."""
     from transcriptts.datapipe import cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    out = cosine_topk(emb, topk=5).select("qid", "cid", "cos", "rank")
+    qs = emb.where(F.col("vec_id") % 5 == 0)
+    out = cosine_topk(emb, queries=qs, topk=5).select("qid", "cid", "cos", "rank")
     return _round6(out, "cos")
 
 
@@ -585,6 +790,7 @@ sims AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
          list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
   FROM e q JOIN e c ON q.vec_id != c.vec_id
+  WHERE q.vec_id % 5 = 0
 ),
 ranked AS (
   SELECT qid, cid, cos,
@@ -596,16 +802,122 @@ SELECT qid, cid, {_r6('cos', 'cos')}, cast(rank AS int) AS rank FROM ranked WHER
 
 
 def _q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 hash mode (engine-portable bits, reproduced digit-for-digit by
+    the oracle) with 9 bands — the pigeonhole guarantee for Hamming <= 8."""
     from transcriptts.datapipe import simhash_pairs
 
-    return simhash_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"), max_hamming=8)
+    out = simhash_pairs(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"), max_hamming=8, hash_mode="md5"
+    )
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+def _sql_simhash(max_hamming: int = 8) -> str:
+    bands = max_hamming + 1
+    base, extra = divmod(64, bands)
+    widths = [base + (1 if b < extra else 0) for b in range(bands)]
+    offsets = [sum(widths[:b]) for b in range(bands)]
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN (((strpos('0123456789abcdef', substr(hx, {i // 4 + 1}, 1)) - 1) >> {i % 4}) & 1) = 1"
+        f" THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(64)
+    )
+    band_keys = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN b{offsets[b] + r} > 0 THEN {1 << r} ELSE 0 END)" for r in range(widths[b])
+        )
+        + f") AS k{b}"
+        for b in range(bands)
+    )
+    ham = " + ".join(f"bit_count(xor(a.k{b}::BIGINT, b.k{b}::BIGINT))" for b in range(bands))
+    band_join = " OR ".join(f"a.k{b} = b.k{b}" for b in range(bands))
+    return f"""
+WITH tk AS (
+  SELECT doc_id AS id,
+         unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE list_transform(string_split_regex(trim(text), '\\s+'), s -> lower(s)) END) AS tok
+  FROM documents
+),
+hh AS (SELECT id, md5(tok) AS hx FROM tk),
+v AS (SELECT id, {bit_sums} FROM hh GROUP BY id),
+k AS (SELECT id, {band_keys} FROM v),
+p AS (
+  SELECT a.id AS id_a, b.id AS id_b, {ham} AS hamming
+  FROM k a JOIN k b ON a.id < b.id AND ({band_join})
+)
+SELECT id_a, id_b, cast(hamming AS int) AS hamming FROM p WHERE hamming <= {max_hamming}
+"""
 
 
 def _q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptts.datapipe import ann_lsh_topk
 
-    out = ann_lsh_topk(spark.read.parquet(f"{sf_dir}/embeddings.parquet"), topk=5, n_planes=8)
+    out = ann_lsh_topk(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"), topk=5, n_planes=8, dim=64
+    )
     return _round6(out, "cos")
+
+
+def _lsh_bucket_sql(n_planes: int, seed: int, dim: int = 64) -> str:
+    """The SAME hyperplanes as datapipe._hyperplanes, as SQL literals; dot
+    products written as explicit left-associated sums so they evaluate in
+    exactly the order of Spark's F.aggregate fold."""
+    import numpy as np
+
+    planes = np.random.default_rng(seed).standard_normal((n_planes, dim))
+    terms = []
+    for i, row in enumerate(planes):
+        dot = " + ".join(f"v[{j + 1}] * {float(w)!r}" for j, w in enumerate(row))
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return " + ".join(terms)
+
+
+def _sql_ann_lsh(n_planes: int = 8, seed: int = 42, topk: int = 5) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql(n_planes, seed)} AS bucket FROM e),
+sims AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+  FROM sims
+)
+SELECT qid, cid, {_r6('cos', 'cos')}, cast(rank AS int) AS rank FROM ranked WHERE rank <= {topk}
+"""
+
+
+def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from transcriptts.datapipe import embedding_dedup
+
+    out = embedding_dedup(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet"),
+        threshold=0.35, n_planes=6, seed=7, dim=64,
+    )
+    return _round6(out, "cos")
+
+
+def _sql_embedding_dedup(n_planes: int = 6, seed: int = 7, threshold: float = 0.35) -> str:
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, {_lsh_bucket_sql(n_planes, seed)} AS bucket FROM e),
+sims AS (
+  SELECT q.vec_id AS qid, c.vec_id AS cid,
+         list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
+  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+  FROM sims
+)
+SELECT DISTINCT qid AS id_a, cid AS id_b, {_r6('cos', 'cos')}
+FROM ranked WHERE rank <= 50 AND cos >= {threshold!r} AND qid < cid
+"""
 
 
 def _q_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -633,6 +945,34 @@ SELECT doc_id,
             + 0.2 * least(CASE WHEN token_count > 0 THEN stop_hits * 1.0 / token_count ELSE 0 END * 5, 1.0)''', 'quality_score')}
 FROM s
 """
+
+
+# --- multimodal plumbing (decode stubbed; Arrow plumbing real) -----------------
+
+
+def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic media table → mapInPandas feature extraction.
+    The decode is the documented stub; the Spark-side schema/batch contract
+    is what this query locks down (rows-only: binary payloads + sha-derived
+    features are not DuckDB-expressible)."""
+    from transcriptts.multimodal import extract_features, synth_media
+
+    m = synth_media(spark, n=120, seed=42)
+    out = extract_features(m)
+    return _round6(
+        out.select(
+            "media_id", "kind", "payload_bytes",
+            F.element_at("feature", 1).cast("double").alias("f0"),
+        ),
+        "f0",
+    )
+
+
+def _q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan: JVM-side explode of sampled frame indices."""
+    from transcriptts.multimodal import frame_sample_plan, synth_media
+
+    return frame_sample_plan(synth_media(spark, n=120, seed=42), every_n=30)
 
 
 # --- statistical functions (SURVEY §2.7) ---------------------------------------
@@ -717,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rollup_1h": _q_rollup("1h"),
         "rollup_1d": _q_rollup("1d"),
         "rollup_1h_hierarchical": _q_rollup_1h_hierarchical,
+        "rollup_1m_salted": _q_rollup_salted,
         "downsample_k4": _q_downsample,
         "segment_stats_k8": _q_segment_stats,
         "gapfill_locf_interp_1h": _q_gapfill,
@@ -725,12 +1066,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ema_a05": _q_ema,
         "savgol_w5_p2": _q_savgol,
         "pelt_l2": _q_pelt,
+        "pelt_l1": _q_pelt_cost("l1", 5.0),
+        "pelt_rbf": _q_pelt_cost("rbf", 2.0),
+        "pelt_gaussian": _q_pelt_cost("gaussian", 10.0),
+        "pelt_ar1": _q_pelt_cost("ar", 10.0, order=1),
+        "pelt_poisson": _q_pelt_poisson,
+        "pelt_bernoulli": _q_pelt_bernoulli,
+        "pelt_binomial": _q_pelt_binomial,
         "cusum_z3": _q_cusum,
         "pelt_segment_stats": _q_pelt_segments,
         "penalty_selection_bic": _q_penalty_selection,
+        "penalty_selection_aicc": _q_penalty_selection_aicc,
         "ses_forecast_a03": _q_ses,
         "linear_forecast": _q_linear_forecast,
         "holt_forecast": _q_holt,
+        "holt_damped_forecast": _q_holt_damped,
+        "holt_mul_forecast": _q_holt_mul,
         "gorilla_roundtrip_agg": _q_gorilla_roundtrip,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
@@ -741,6 +1092,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
+        "embedding_dedup": _q_embedding_dedup,
+        "media_features": _q_media_features,
+        "media_frame_plan": _q_media_frame_plan,
         "series_stats": _q_series_stats,
         "normalize_zscore": _q_normalize,
     }
@@ -751,15 +1105,20 @@ def oracle_sql() -> dict[str, str]:
         "rollup_1m": _sql_rollup("minute"),
         "rollup_1h": _sql_rollup("hour"),
         "rollup_1d": _sql_rollup("day"),
-        "rollup_1h_hierarchical": _SQL_ROLLUP_HIER,
+        "rollup_1h_hierarchical": _sql_rollup_fold("hour"),
+        "rollup_1m_salted": _sql_rollup_fold("minute"),
         "downsample_k4": _SQL_DOWNSAMPLE,
         "segment_stats_k8": _SQL_SEGMENT_STATS,
         "gapfill_locf_interp_1h": _SQL_GAPFILL,
         "sma_w5": _SQL_SMA,
         "wma_w3": _SQL_WMA,
         "ema_a05": _SQL_EMA,
+        "cusum_z3": _SQL_CUSUM,
         "ses_forecast_a03": _SQL_SES,
         "linear_forecast": _SQL_LINEAR,
+        "holt_forecast": _sql_holt_additive(phi=1.0),
+        "holt_damped_forecast": _sql_holt_additive(phi=0.5),
+        "holt_mul_forecast": _SQL_HOLT_MUL,
         "gorilla_roundtrip_agg": _SQL_GORILLA,
         "text_stats": _SQL_TEXT_STATS,
         "quality_score": _SQL_QUALITY,
@@ -768,16 +1127,18 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "minhash_lsh_dedup": _sql_minhash(),
         "cosine_topk": _SQL_COSINE_TOPK,
+        "simhash_pairs": _sql_simhash(max_hamming=8),
+        "ann_lsh_topk": _sql_ann_lsh(n_planes=8, seed=42, topk=5),
+        "embedding_dedup": _sql_embedding_dedup(n_planes=6, seed=7, threshold=0.35),
         "series_stats": _SQL_SERIES_STATS,
         "normalize_zscore": _SQL_NORMALIZE,
-        # simhash_pairs / ann_lsh_topk: depend on engine-native xxhash64 /
-        # numpy hyperplanes — rows-only; cross-checked in tests/test_datapipe.py
         # savgol_w5_p2: edge polynomial re-fit + middle restore is not
         # SQL-expressible → rows-only check; golden parity covered in
         # tests/test_kernels_smoothing.py::test_savgol_golden_middle_restore
-        # pelt_l2 / cusum_z3 / pelt_segment_stats / penalty_selection_bic:
-        # sequential DP / stateful scans — rows-only; goldens in
-        # tests/test_kernels_detect.py
-        # holt_forecast: two-state recursion — rows-only; goldens in
-        # tests/test_kernels_forecast.py
+        # pelt_* / pelt_segment_stats / penalty_selection_*: the PELT DP
+        # itself is not SQL-expressible — rows-only; goldens in
+        # tests/test_kernels_detect.py (CUSUM and Holt ARE folds, so they
+        # carry full oracles above)
+        # media_features / media_frame_plan: binary payloads + sha-derived
+        # stub features — rows-only by design
     }

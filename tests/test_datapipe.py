@@ -82,6 +82,41 @@ def test_simhash_near_dup_low_hamming(docs):
     assert (0, 1) in pairs and pairs[(0, 1)] <= 16
 
 
+def test_simhash_banding_recall_guarantee(spark):
+    """Banded candidate generation must find EVERY pair within max_hamming —
+    including pairs whose differing bits straddle several bands (the round-1
+    fixed 4-band layout silently dropped Hamming 4-8 pairs)."""
+    base = ("the quick brown fox jumps over the lazy dog while seven wizards "
+            "brew strong potions beneath the ancient stone bridge at midnight").split()
+    rows = []
+    for i in range(40):
+        words = list(base)
+        # mutate i%7 words → a spread of small-to-mid Hamming distances
+        for j in range(i % 7):
+            words[(i * 3 + j * 5) % len(words)] = f"tok{i}x{j}"
+        rows.append((i, " ".join(words), "en"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+
+    sims = {r["id"]: r["simhash"] for r in D.simhash64(docs).collect()}
+    truth = {
+        (a, b): bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1")
+        for a in sims
+        for b in sims
+        if a < b and bin((sims[a] ^ sims[b]) & ((1 << 64) - 1)).count("1") <= 8
+    }
+    # the corpus must actually exercise the contested 4-8 range
+    assert any(4 <= h <= 8 for h in truth.values()), sorted(truth.values())
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in D.simhash_pairs(docs, max_hamming=8).collect()}
+    assert got == truth
+
+
+def test_simhash_band_count_validates():
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="cannot guarantee recall"):
+        D.simhash_pairs(None, max_hamming=8, bands=4)
+
+
 def test_fingerprint_normalization(docs):
     fp = {r["doc_id"]: r["fingerprint"] for r in D.with_fingerprint(docs).collect()}
     assert fp[0] == fp[6] and fp[0] != fp[1]
@@ -99,8 +134,15 @@ def emb(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
 
 
+def test_cosine_topk_requires_explicit_queries(emb):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="explicit"):
+        D.cosine_topk(emb, topk=3)
+
+
 def test_cosine_topk_exact(emb):
-    out = D.cosine_topk(emb, topk=3)
+    out = D.cosine_topk(emb, topk=3, allow_self_all_pairs=True)
     got = {(r["qid"], r["rank"]): r["cid"] for r in out.collect()}
     mat = np.array(emb.orderBy("vec_id").select("embedding").toPandas()["embedding"].tolist())
     normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)

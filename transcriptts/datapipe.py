@@ -164,8 +164,12 @@ def jaccard_pairs(
     the skew guard; a shingle in d docs creates d^2 join rows)."""
     sh = word_shingles(docs, k, text_col, id_col).cache()
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    # No forced broadcasts here: df_counts and sizes are O(corpus)-sized
+    # aggregates, so a hinted broadcast would blow the driver at scale. The
+    # joins stay plain shuffle joins — AQE still picks broadcast at runtime
+    # whenever the aggregated side is genuinely small.
     df_counts = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
-    filtered = sh.join(F.broadcast(df_counts.where(F.col("sdf") <= max_shingle_df)), "shingle")
+    filtered = sh.join(df_counts.where(F.col("sdf") <= max_shingle_df), "shingle")
     a = filtered.select(F.col("id").alias("id_a"), "shingle")
     b = filtered.select(F.col("id").alias("id_b"), "shingle")
     inter = (
@@ -175,8 +179,8 @@ def jaccard_pairs(
         .agg(F.count("*").alias("inter"))
     )
     out = (
-        inter.join(F.broadcast(sizes).withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(F.broadcast(sizes).withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
         .withColumn("jaccard", F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")))
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
@@ -215,16 +219,20 @@ def minhash_signatures(
     return grouped.select("id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16) -> DataFrame:
+def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, sig_len: int | None = None) -> DataFrame:
     """MinHash-LSH banding: split each signature into `bands` equal slices,
     bucket on (band index, slice hash), emit distinct in-bucket pairs.
 
     This is the O(n^2)-avoidance step: pairs only form inside buckets, and
-    bucket sizes stay small for non-duplicate corpora."""
-    sig_len_row = signatures.select(F.size("sig").alias("n")).limit(1).collect()
-    if not sig_len_row:
-        return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
-    rows = sig_len_row[0]["n"] // bands
+    bucket sizes stay small for non-duplicate corpora. Pass `sig_len`
+    (the caller's num_hashes) to keep the plan fully lazy; omitting it
+    falls back to a driver-side single-row schema probe."""
+    if sig_len is None:
+        sig_len_row = signatures.select(F.size("sig").alias("n")).limit(1).collect()
+        if not sig_len_row:
+            return signatures.sparkSession.createDataFrame([], "id_a long, id_b long")
+        sig_len = sig_len_row[0]["n"]
+    rows = sig_len // bands
     if rows < 1:
         raise ValueError("bands exceeds signature length")
     banded = signatures.select(
@@ -256,7 +264,7 @@ def minhash_dedup(
     """MinHash-LSH near-dup pipeline: shingle → sign → band → bucket-join →
     EXACT Jaccard verification of the candidates only."""
     sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col, hash_mode)
-    cands = lsh_candidate_pairs(sigs, bands)
+    cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes)
     sh = word_shingles(docs, k, text_col, id_col)
     grouped = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
     j = (
@@ -270,17 +278,36 @@ def minhash_dedup(
     return j
 
 
-def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+def _token_bit(hash_mode: str, i: int) -> Column:
+    """Bit i (0..63) of the per-token hash, as an int column over `tok`/`h`.
+
+    xxhash64 mode reads bit i of the 64-bit JVM hash. md5 mode derives bit i
+    from hex digit i//4 of the md5 hex string ((digit >> (i%4)) & 1) — an
+    engine-portable bit source reproducible character-for-character in
+    DuckDB (used by the oracle queries)."""
+    if hash_mode == "xxhash64":
+        return F.shiftright("h", i).bitwiseAND(F.lit(1))
+    digit = F.expr(f"instr('0123456789abcdef', substring(hx, {i // 4 + 1}, 1)) - 1")
+    return F.shiftright(digit, i % 4).bitwiseAND(F.lit(1))
+
+
+def simhash64(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id", hash_mode: str = "xxhash64"
+) -> DataFrame:
     """64-bit SimHash: per token hash, vote +1/-1 per bit, sign → bit.
 
     Implemented as an explode + 64 conditional-sum aggregates — all JVM-side.
     Near-dup candidates = small Hamming distance (see simhash_pairs)."""
-    toks = docs.select(
-        F.col(id_col).alias("id"), F.explode(ws_tokens(text_col)).alias("tok")
-    ).withColumn("h", F.xxhash64(F.lower(F.col("tok"))))
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError("hash_mode must be 'xxhash64' or 'md5'")
+    toks = docs.select(F.col(id_col).alias("id"), F.explode(ws_tokens(text_col)).alias("tok"))
+    if hash_mode == "xxhash64":
+        toks = toks.withColumn("h", F.xxhash64(F.lower(F.col("tok"))))
+    else:
+        toks = toks.withColumn("hx", F.md5(F.lower(F.col("tok"))))
     votes = toks.groupBy("id").agg(
         *[
-            F.sum(F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)).alias(f"b{i}")
+            F.sum(F.when(_token_bit(hash_mode, i) == 1, 1).otherwise(-1)).alias(f"b{i}")
             for i in range(64)
         ]
     )
@@ -292,17 +319,47 @@ def simhash64(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     return votes.select("id", sim.alias("simhash"))
 
 
-def simhash_pairs(docs: DataFrame, max_hamming: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64 bits into 4x16-bit keys (any
-    pair within Hamming distance 3 shares at least one band), bucket-join,
-    then verify exact Hamming distance via bit_count(xor)."""
-    s = simhash64(docs, text_col, id_col)
+def _band_widths(bands: int) -> list[int]:
+    """Split 64 bits into `bands` contiguous chunks, widths differing by <=1."""
+    base, extra = divmod(64, bands)
+    return [base + (1 if b < extra else 0) for b in range(bands)]
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_mode: str = "xxhash64",
+    bands: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64 bits into `bands` contiguous
+    keys, bucket-join, then verify exact Hamming distance via bit_count(xor).
+
+    Recall guarantee is pigeonhole: a pair within Hamming distance d shares
+    at least one band iff bands >= d+1 — so bands defaults to
+    max_hamming + 1 (the round-1 fixed 4-band layout silently missed pairs
+    whose >3 differing bits spread across all bands)."""
+    if bands is None:
+        bands = max_hamming + 1
+    if bands < 1 or bands > 64:
+        raise ValueError("bands must be in [1, 64]")
+    if bands < max_hamming + 1:
+        raise ValueError(
+            f"bands={bands} cannot guarantee recall for max_hamming={max_hamming}; need >= {max_hamming + 1}"
+        )
+    widths = _band_widths(bands)
+    offsets = [sum(widths[:b]) for b in range(bands)]
+    s = simhash64(docs, text_col, id_col, hash_mode)
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.shiftright("simhash", offsets[b]).bitwiseAND(F.lit((1 << widths[b]) - 1)).alias("key"),
+        )
+        for b in range(bands)
+    ]
     banded = s.select(
-        "id",
-        "simhash",
-        F.explode(
-            F.array(*[F.struct(F.lit(b).alias("band"), F.shiftright("simhash", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("key")) for b in range(4)])
-        ).alias("bb"),
+        "id", "simhash", F.explode(F.array(*band_structs)).alias("bb")
     ).select("id", "simhash", "bb.band", "bb.key")
     a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "key")
     b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "key")
@@ -332,14 +389,28 @@ def cosine_topk(
     topk: int = 5,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    allow_self_all_pairs: bool = False,
 ) -> DataFrame:
     """Brute-force cosine top-k: broadcast the (small) query side against the
     corpus, dot products via zip_with/aggregate (JVM), rank per query.
 
     Exactness baseline; O(|Q| * |corpus| * dim). At 100 TB the corpus side
-    stays partitioned and only queries broadcast."""
+    stays partitioned and ONLY the query frame broadcasts — `queries` is
+    therefore required. Self-similarity over the whole corpus would put the
+    corpus itself on the broadcast side of a nested-loop join (a driver
+    OOM at scale), so it must be opted into explicitly with
+    allow_self_all_pairs=True (small-SF exactness baselines only); the
+    scale path for self-similarity is ann_lsh_topk / embedding_dedup."""
+    if queries is None and not allow_self_all_pairs:
+        raise ValueError(
+            "cosine_topk requires an explicit (small) `queries` frame; "
+            "pass allow_self_all_pairs=True only for small exactness baselines "
+            "(self-similarity at scale belongs to ann_lsh_topk)"
+        )
     base = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cvec"))
-    qs = (queries or emb).select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qvec"))
+    qs = (queries if queries is not None else emb).select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qvec")
+    )
     sims = base.join(F.broadcast(qs), F.col("cid") != F.col("qid")).select(
         "qid",
         "cid",
@@ -363,15 +434,21 @@ def ann_lsh_topk(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate NN via random-hyperplane LSH: sign pattern of n_planes
     projections → bucket; candidates only join within a bucket; exact cosine
     re-ranks candidates. Recall trades off with n_planes; the scale path —
-    bucket join replaces the all-pairs product."""
-    sample = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
-    if not sample:
-        return emb.sparkSession.createDataFrame([], "qid long, cid long, cos double, rank int")
-    planes = _hyperplanes(sample[0]["d"], n_planes, seed)
+    bucket join replaces the all-pairs product.
+
+    Pass `dim` explicitly to keep the plan fully lazy; omitting it falls
+    back to a driver-side single-row schema probe."""
+    if dim is None:
+        sample = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+        if not sample:
+            return emb.sparkSession.createDataFrame([], "qid long, cid long, cos double, rank int")
+        dim = sample[0]["d"]
+    planes = _hyperplanes(dim, n_planes, seed)
     v = F.col(vec_col).cast("array<double>")
     bits = [
         F.when(
@@ -403,11 +480,11 @@ def ann_lsh_topk(
 
 def embedding_dedup(
     emb: DataFrame, threshold: float = 0.98, n_planes: int = 10, seed: int = 7,
-    vec_col: str = "embedding", id_col: str = "vec_id",
+    vec_col: str = "embedding", id_col: str = "vec_id", dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucketed candidates (near-dups at
     cos >= threshold almost always share all sign bits), exact cosine check."""
-    ranked = ann_lsh_topk(emb, topk=50, n_planes=n_planes, seed=seed, vec_col=vec_col, id_col=id_col)
+    ranked = ann_lsh_topk(emb, topk=50, n_planes=n_planes, seed=seed, vec_col=vec_col, id_col=id_col, dim=dim)
     return (
         ranked.where((F.col("cos") >= threshold) & (F.col("qid") < F.col("cid")))
         .select(F.col("qid").alias("id_a"), F.col("cid").alias("id_b"), "cos")

@@ -176,26 +176,29 @@ def rollup_salted(df: DataFrame, tier: str = "1m", salt_buckets: int = 8) -> Dat
         "conv_id", F.window("ts", duration).alias("w"), "metric", "salt"
     ).agg(
         F.count("value").alias("p_cnt"),
-        F.sum("value").alias("p_sum"),
         F.min("value").alias("p_min"),
         F.max("value").alias("p_max"),
         F.sort_array(F.collect_list("value")).alias("p_vals"),
     )
     merged = partial.groupBy("conv_id", "w", "metric").agg(
         F.sum("p_cnt").alias("cnt"),
-        F.sum("p_sum").alias("sum"),
         F.min("p_min").alias("min"),
         F.max("p_max").alias("max"),
         F.sort_array(F.flatten(F.collect_list("p_vals"))).alias("vals"),
     )
 
+    # sum/mean via the sorted-multiset fold (see _finalize_partials): the
+    # per-salt partial-sum re-addition order depends on the shuffle, so a
+    # deterministic fold keeps the salted path bit-identical to the
+    # unsalted and hierarchical paths.
+    ssum = F.aggregate(F.col("vals"), F.lit(0.0), lambda acc, x: acc + x)
     return merged.select(
         "conv_id",
         F.col("w.start").alias("bucket_start"),
         "metric",
         "cnt",
-        "sum",
-        (F.col("sum") / F.col("cnt")).alias("mean"),
+        ssum.alias("sum"),
+        (ssum / F.col("cnt")).alias("mean"),
         "min",
         "max",
         _exact_pct(F.col("vals"), F.col("cnt"), 0.5).alias("p50"),
