@@ -101,7 +101,7 @@ def main() -> None:
     # back-to-back (adjacent host-noise windows) and yields one ratio;
     # the reported efficiency is the MEDIAN across rounds.
     factor = args.high / args.low
-    passes_high = args.passes_high or int(args.passes * factor)
+    passes_high = args.passes_high if args.passes_high is not None else int(args.passes * factor)
     rounds = []
     lo_best = hi_best = None
     for i in range(args.rounds):
@@ -115,7 +115,10 @@ def main() -> None:
             )
             print(f"round {i} local[{cores}]:", r, file=sys.stderr)
             pair[cores] = r
-        eff = pair[args.high]["turns_per_sec"] / (factor * pair[args.low]["turns_per_sec"])
+        # per-leg MEDIAN: with unequal pass counts (equal wall-clock
+        # exposure), min-of-more-samples would bias the longer leg's
+        # throughput up under noise; the median estimator is symmetric.
+        eff = pair[args.high]["turns_per_sec_median"] / (factor * pair[args.low]["turns_per_sec_median"])
         rounds.append({"round": i, "efficiency": round(eff, 3),
                        "low": pair[args.low], "high": pair[args.high]})
         print(f"round {i} efficiency: {eff:.3f}", file=sys.stderr)
@@ -143,8 +146,8 @@ def main() -> None:
     print(json.dumps(summary))
 
     round_rows = "\n".join(
-        f"| {r['round']} | {r['low']['wall_sec']} | {r['high']['wall_sec']} "
-        f"| {r['low']['turns_per_sec']:,} | {r['high']['turns_per_sec']:,} | {r['efficiency']:.3f} |"
+        f"| {r['round']} | {r['low']['wall_sec_median']} | {r['high']['wall_sec_median']} "
+        f"| {r['low']['turns_per_sec_median']:,} | {r['high']['turns_per_sec_median']:,} | {r['efficiency']:.3f} |"
         for r in rounds
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -169,8 +172,9 @@ host weather, not scaling. Each round instead runs local[{args.low}] then
 local[{args.high}] back-to-back (adjacent noise windows; each JVM does one
 untimed warmup pass, then {args.passes} timed pass(es) at local[{args.low}]
 vs {passes_high} at local[{args.high}] — equal wall-clock exposure per leg,
-min wall per leg — so a noise burst cannot sit entirely inside the shorter
-leg) and yields one efficiency ratio; the reported figure is the MEDIAN
+MEDIAN wall per leg, so a noise burst cannot sit entirely inside the
+shorter leg and the unequal sample counts cannot bias a min-estimator)
+and yields one efficiency ratio; the reported figure is the MEDIAN
 over {args.rounds} rounds.
 
 | round | local[{args.low}] wall s | local[{args.high}] wall s | local[{args.low}] turns/s | local[{args.high}] turns/s | efficiency |

@@ -84,3 +84,49 @@ def test_pipeline_incremental_append(spark, tmp_path):
     p2.run(mk(both), tiers=("1m",))
     assert p.content_hash("1m") == p2.content_hash("1m")
     assert p.read_tier("1m").count() == p2.read_tier("1m").count()
+
+
+def test_pipeline_incremental_scans_only_tail(spark, tmp_path):
+    """The incremental run must (a) aggregate only post-watermark rows —
+    the raw filter is a pushable ts predicate, not a post-aggregation
+    restriction — and (b) still produce latencies identical to a full
+    recompute across the date cutoff, via the convstate seed rows."""
+    import datetime as dt
+
+    root = str(tmp_path / "tiers")
+    p = RollupPipeline(spark, root)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    day1 = dt.datetime(2025, 3, 1, 10, 0)
+    day2 = dt.datetime(2025, 3, 2, 9, 0)
+    # conversation c crosses the date boundary: last day-1 turn at 10:50,
+    # first day-2 turn at 09:00 → its latency (79_800s) only exists if the
+    # window saw the day-1 seed row from convstate
+    d1 = [("c", i, "user", "a b c", None, day1 + dt.timedelta(minutes=10 * i)) for i in range(6)]
+    d2 = [("c", 6 + j, "user", "d e", None, day2 + dt.timedelta(minutes=10 * j)) for j in range(3)]
+    p.run(mk(d1 + d2), tiers=("1m", "1h", "1d"))
+
+    tail = [("c", 9 + j, "user", "f g", None, day2 + dt.timedelta(hours=8, minutes=10 * j)) for j in range(2)]
+    allrows = d1 + d2 + tail
+    rep = p.run(mk(allrows), tiers=("1m", "1h", "1d"), incremental=True, debug_counts=True)
+    for t in ("1m", "1h", "1d"):
+        assert rep["metrics"][t]["incremental_from"] is not None
+        # only the watermark-date rows were aggregated (day-2: 3 + 2 turns),
+        # never the 6 day-1 turns — the raw scan is bounded
+        assert rep["metrics"][t]["batch_rows"] == len(d2) + len(tail)
+
+    full = RollupPipeline(spark, str(tmp_path / "full"))
+    full.run(mk(allrows), tiers=("1m", "1h", "1d"))
+    for t in ("1m", "1h", "1d"):
+        assert p.content_hash(t) == full.content_hash(t), t
+
+    # the cross-midnight latency made it into the incrementally-recomputed
+    # day-2 1d bucket: 09:00 minus 10:50 the day before = 79_800s
+    row = [
+        r
+        for r in p.read_tier("1d").collect()
+        if r["metric"] == "latency_s" and str(r["bucket_start"]).startswith("2025-03-02")
+    ]
+    assert row and row[0]["cnt"] == len(d2) + len(tail)
+    assert row[0]["max"] == 79_800.0

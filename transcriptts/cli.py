@@ -107,6 +107,11 @@ def main(argv=None) -> int:
             run_tiers()
             walls.append(round(time.time() - t0, 3))
         wall = min(walls)
+        # median is the fair cross-leg estimator when legs run different
+        # pass counts (equal wall-clock exposure): the min of more samples
+        # is biased lower under noise, the median is not
+        sw = sorted(walls)
+        wall_med = sw[len(sw) // 2] if len(sw) % 2 else (sw[len(sw) // 2 - 1] + sw[len(sw) // 2]) / 2
         cores = spark.sparkContext.defaultParallelism
         print(
             json.dumps(
@@ -114,8 +119,10 @@ def main(argv=None) -> int:
                     "turns": n_turns,
                     "tiers": 3,
                     "wall_sec": wall,
+                    "wall_sec_median": round(wall_med, 3),
                     "wall_sec_all": walls,
                     "turns_per_sec": round(n_turns * 3 / wall, 1),
+                    "turns_per_sec_median": round(n_turns * 3 / wall_med, 1),
                     "cores": cores,
                 }
             )

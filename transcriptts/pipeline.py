@@ -17,10 +17,20 @@ layout under root/:
 Resume semantics:
 - a tier whose state entry matches the current input fingerprint is skipped
   entirely (idempotent rerun after a crash between tiers);
-- with `incremental=True` and a previously committed watermark, only buckets
-  strictly after the watermark minus one coarse bucket are recomputed and
-  their partitions overwritten (dynamic partition overwrite) — the standard
-  continuous-aggregate maintenance pattern;
+- with `incremental=True` and a previously committed watermark, the RAW
+  input is filtered to ts >= date(watermark) BEFORE the rollup — a plain
+  pushable predicate, so the parquet scan itself prunes to post-watermark
+  partitions (at 100 TB this is the whole point: an incremental run never
+  rereads history). The affected date partitions are then overwritten via
+  dynamic partition overwrite — the standard continuous-aggregate
+  maintenance pattern;
+- the one metric that looks across the cutoff — inter-turn latency, a
+  lag() over the conversation — stays EXACT via a seed-row state table
+  (`convstate/`, one row per (conv, date): the date's last turn). The
+  incremental batch unions the per-conv last turn before the cutoff, the
+  window computes true latencies for the first post-cutoff turns, and the
+  seed rows are dropped before aggregation. convstate itself is maintained
+  incrementally (only dates >= the cutoff are rewritten);
 - state.json is swapped via os.replace AFTER the tier's data lands, so a
   crash at any point leaves a consistent (re-runnable) view.
 
@@ -68,7 +78,51 @@ class RollupPipeline:
             json.dump(state, f, indent=2, sort_keys=True)
         os.replace(tmp, self._state_path)  # atomic snapshot commit
 
+    # --- per-conv seed state (exact cross-cutoff latency) --------------------
+
+    @property
+    def _convstate_path(self) -> str:
+        return os.path.join(self.root, "convstate")
+
+    def _update_convstate(self, turns: DataFrame, incremental_dates: bool) -> None:
+        """Upsert (conv_id, p_date) -> last turn of that date. `turns` is the
+        (possibly already cutoff-filtered) batch, so an incremental run only
+        rewrites the date partitions it touches."""
+        st = (
+            turns.groupBy("conv_id", F.to_date("ts").alias("p_date"))
+            .agg(F.max("ts").alias("last_ts"), F.max("turn_idx").alias("last_turn_idx"))
+        )
+        writer = st.repartition("p_date").write.partitionBy("p_date")
+        if incremental_dates and os.path.exists(self._convstate_path):
+            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        writer.mode("overwrite").parquet(self._convstate_path)
+
+    def _seed_rows(self, cutoff) -> DataFrame | None:
+        """Per-conv last turn strictly before the cutoff date — the lag()
+        seed for the incremental window. Partition-pruned read of the tiny
+        convstate table; turn_idx keeps its true value so the window order
+        is preserved."""
+        if not os.path.exists(self._convstate_path):
+            return None
+        st = self.spark.read.parquet(self._convstate_path).where(
+            F.col("p_date") < F.to_date(F.lit(cutoff))
+        )
+        return (
+            st.groupBy("conv_id")
+            .agg(F.max(F.struct("last_ts", "last_turn_idx")).alias("s"))
+            .select(
+                "conv_id",
+                F.col("s.last_turn_idx").alias("turn_idx"),
+                F.lit(None).cast("string").alias("role"),
+                F.lit(None).cast("string").alias("text"),
+                F.lit(None).cast("string").alias("tool"),
+                F.col("s.last_ts").alias("ts"),
+            )
+        )
+
     # --- run ------------------------------------------------------------------
+
+    _COLS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
 
     def run(
         self,
@@ -76,12 +130,14 @@ class RollupPipeline:
         tiers: tuple[str, ...] = ("1m", "1h", "1d"),
         input_fingerprint: str | None = None,
         incremental: bool = False,
+        debug_counts: bool = False,
     ) -> dict:
         """Compute + persist the requested tiers; returns the run report.
 
         input_fingerprint identifies the input version (e.g. source snapshot
         id / max ingest ts). Tiers already committed for this fingerprint are
-        skipped — that is the resume path.
+        skipped — that is the resume path. debug_counts additionally counts
+        each tier's (filtered) aggregation input — an extra pass, tests only.
         """
         if input_fingerprint is None:
             agg = transcripts.select(
@@ -89,9 +145,11 @@ class RollupPipeline:
             ).collect()[0]
             input_fingerprint = f"n={agg['n']}/min={agg['mn']}/max={agg['mx']}"
 
-        derived = with_derived_metrics(transcripts)
+        derived_full = None  # built lazily: full-recompute tiers only
         state = self.load_state()
         report: dict = {"snapshot_ids": {}, "skipped": [], "metrics": {}}
+        ran_full = False
+        min_cutoff: str | None = None
 
         for tier in tiers:
             entry = state["tiers"].get(tier)
@@ -101,13 +159,28 @@ class RollupPipeline:
             snapshot_id = f"{tier}-{uuid.uuid4().hex[:12]}"
             t0 = time.time()
 
-            r = rollup(derived, tier)
             prev_watermark = entry.get("watermark") if (entry and incremental) else None
             if prev_watermark is not None:
-                # recompute every DATE partition touched at/after the
-                # watermark (dynamic overwrite swaps whole p_date partitions,
-                # so the incremental filter must align to that granularity)
-                r = r.where(F.to_date("bucket_start") >= F.to_date(F.lit(prev_watermark)))
+                # Filter the RAW input at the watermark DATE before deriving
+                # and rolling up: a plain `ts >=` predicate the scan prunes
+                # on (dynamic overwrite swaps whole p_date partitions, so the
+                # cutoff aligns to date granularity). The lag() window gets
+                # its cross-cutoff context from one seed row per conversation
+                # (convstate), which is dropped again before aggregation.
+                cutoff_ts = F.to_timestamp(F.to_date(F.lit(prev_watermark)))
+                src = transcripts.select(*self._COLS).where(F.col("ts") >= cutoff_ts)
+                seeds = self._seed_rows(prev_watermark)
+                batch = src if seeds is None else src.unionByName(seeds)
+                d = with_derived_metrics(batch).where(F.col("ts") >= cutoff_ts)
+                if min_cutoff is None or prev_watermark < min_cutoff:
+                    min_cutoff = prev_watermark
+            else:
+                if derived_full is None:
+                    derived_full = with_derived_metrics(transcripts)
+                d = derived_full
+                ran_full = True
+            r = rollup(d, tier)
+            batch_rows = d.count() if debug_counts else None
             out = (
                 r.withColumn("p_date", F.to_date("bucket_start"))
                 .repartition("p_date")
@@ -166,7 +239,24 @@ class RollupPipeline:
             }
             self._commit_state(state)
             report["snapshot_ids"][tier] = snapshot_id
-            report["metrics"][tier] = {"rows": total_rows, "bytes": byte_size, "wall_sec": round(wall, 3)}
+            report["metrics"][tier] = {
+                "rows": total_rows,
+                "bytes": byte_size,
+                "wall_sec": round(wall, 3),
+                "incremental_from": prev_watermark,
+            }
+            if batch_rows is not None:
+                report["metrics"][tier]["batch_rows"] = batch_rows
+
+        # maintain the per-(conv, date) seed state for the NEXT incremental
+        # run; an all-incremental run only rewrites post-cutoff dates.
+        if report["snapshot_ids"]:
+            base = transcripts.select(*self._COLS)
+            if not ran_full and min_cutoff is not None:
+                cutoff_ts = F.to_timestamp(F.to_date(F.lit(min_cutoff)))
+                self._update_convstate(base.where(F.col("ts") >= cutoff_ts), incremental_dates=True)
+            else:
+                self._update_convstate(base, incremental_dates=False)
 
         return report
 

@@ -42,10 +42,20 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    # Shuffle spill dir on tmpfs when available: the sandbox's root disk
-    # serializes concurrent shuffle writes (~25% of wall at 32 cores). A
-    # real cluster uses per-executor local NVMe instead.
-    if os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+    # Shuffle spill dir on tmpfs when it is actually big enough: the
+    # sandbox's root disk serializes concurrent shuffle writes (~25% of
+    # wall at 32 cores), but containers commonly mount a tiny (64 MB)
+    # RAM-backed /dev/shm where large spills would fail — so require
+    # >= 8 GiB free (or force with SPARK_GRAFT_TMPFS=1/0). A real cluster
+    # uses per-executor local NVMe instead.
+    tmpfs_pref = os.environ.get("SPARK_GRAFT_TMPFS")
+    use_tmpfs = False
+    if tmpfs_pref == "1":
+        use_tmpfs = os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK)
+    elif tmpfs_pref != "0" and os.path.isdir("/dev/shm") and os.access("/dev/shm", os.W_OK):
+        st = os.statvfs("/dev/shm")
+        use_tmpfs = st.f_bavail * st.f_frsize >= 8 << 30
+    if use_tmpfs:
         shm = "/dev/shm/spark-local"
         os.makedirs(shm, exist_ok=True)
         builder = builder.config("spark.local.dir", shm)
