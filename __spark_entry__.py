@@ -453,7 +453,13 @@ def _q_pelt_binomial(spark: SparkSession, sf_dir: str) -> DataFrame:
         bps = pelt(mat, penalty=1.0, cost="binomial", min_size=3)
         return pd.DataFrame({"conv_id": pdf["conv_id"].iloc[0], "breakpoint_idx": bps})
 
-    return s.groupBy("conv_id").applyInPandas(run, "conv_id string, breakpoint_idx long")
+    from transcriptts.partitioning import kernel_partitions
+
+    return (
+        kernel_partitions(s, "conv_id")
+        .groupBy("conv_id")
+        .applyInPandas(run, "conv_id string, breakpoint_idx long")
+    )
 
 
 # --- forecasting (SURVEY §2.5) -----------------------------------------------

@@ -47,29 +47,51 @@ def compress_series(
         F.col(value_col).cast("double").alias("_v"),
     )
 
-    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_ts")
-        # Arrow delivers datetime64[ns]; normalize to µs explicitly
-        ts_us = pdf["_ts"].to_numpy().astype("datetime64[us]").astype(np.int64)
-        vals = pdf["_v"].to_numpy(dtype=np.float64)
-        ts_blob = encode_timestamps(ts_us)
-        val_blob = encode_floats(vals)
-        return pd.DataFrame(
-            {
-                "conv_id": [pdf["conv_id"].iloc[0]],
-                "metric": [pdf["metric"].iloc[0]],
-                "chunk": [pdf["chunk"].iloc[0]],
-                "n": [len(pdf)],
-                "ts_min": [pdf["_ts"].iloc[0]],
-                "ts_max": [pdf["_ts"].iloc[-1]],
-                "ts_blob": [ts_blob],
-                "val_blob": [val_blob],
-                "raw_bytes": [len(pdf) * 16],
-                "enc_bytes": [len(ts_blob) + len(val_blob)],
-            }
-        )
+    # Grouping happens JVM-side (collect_list + sort_array on a (ts, v)
+    # struct — ts is the leading struct field, so sort_array orders by
+    # time); Python then sees whole Arrow BATCHES of chunk rows, not one
+    # pandas group per chunk. With day-sized chunks the groups are tiny
+    # (a handful of points), so a per-group applyInPandas paid ~ms of
+    # pandas overhead per chunk — 40k chunks made that the whole runtime.
+    from .partitioning import kernel_partitions
 
-    return base.groupBy("conv_id", "metric", "chunk").applyInPandas(pack, COMPRESSED_SCHEMA)
+    grouped = (
+        kernel_partitions(base, "conv_id", "metric", "chunk")
+        .groupBy("conv_id", "metric", "chunk")
+        .agg(F.sort_array(F.collect_list(F.struct("_ts", "_v"))).alias("pts"))
+        .select(
+            "conv_id", "metric", "chunk",
+            F.col("pts._ts").alias("ts_arr"), F.col("pts._v").alias("v_arr"),
+        )
+    )
+
+    def pack_batches(batches):
+        for pdf in batches:
+            out = {k: [] for k in (
+                "conv_id", "metric", "chunk", "n", "ts_min", "ts_max",
+                "ts_blob", "val_blob", "raw_bytes", "enc_bytes",
+            )}
+            for conv_id, metric, chunk, ts_arr, v_arr in zip(
+                pdf["conv_id"], pdf["metric"], pdf["chunk"], pdf["ts_arr"], pdf["v_arr"]
+            ):
+                ts = np.asarray(ts_arr).astype("datetime64[us]")
+                ts_us = ts.astype(np.int64)
+                vals = np.asarray(v_arr, dtype=np.float64)
+                ts_blob = encode_timestamps(ts_us)
+                val_blob = encode_floats(vals)
+                out["conv_id"].append(conv_id)
+                out["metric"].append(metric)
+                out["chunk"].append(chunk)
+                out["n"].append(len(vals))
+                out["ts_min"].append(ts[0])
+                out["ts_max"].append(ts[-1])
+                out["ts_blob"].append(ts_blob)
+                out["val_blob"].append(val_blob)
+                out["raw_bytes"].append(len(vals) * 16)
+                out["enc_bytes"].append(len(ts_blob) + len(val_blob))
+            yield pd.DataFrame(out)
+
+    return grouped.mapInPandas(pack_batches, COMPRESSED_SCHEMA)
 
 
 def decompress_series(df: DataFrame) -> DataFrame:
@@ -80,27 +102,25 @@ def decompress_series(df: DataFrame) -> DataFrame:
     from .kernels.gorilla import decode_floats, decode_timestamps
 
     def unpack(pdf: pd.DataFrame) -> pd.DataFrame:
-        frames = []
-        for row in pdf.itertuples(index=False):
-            ts = decode_timestamps(bytes(row.ts_blob))
-            vals = decode_floats(bytes(row.val_blob))
-            frames.append(
-                pd.DataFrame(
-                    {
-                        "conv_id": row.conv_id,
-                        "metric": row.metric,
-                        "bucket_start": ts.astype("datetime64[us]"),
-                        "value": vals,
-                    }
-                )
-            )
-        if not frames:
+        # one output frame per Arrow batch (np.repeat for the id columns),
+        # not one pandas frame per chunk row
+        ts_list = [decode_timestamps(bytes(b)) for b in pdf["ts_blob"]]
+        val_list = [decode_floats(bytes(b)) for b in pdf["val_blob"]]
+        if not ts_list:
             return pd.DataFrame(
                 {"conv_id": pd.Series(dtype=str), "metric": pd.Series(dtype=str),
                  "bucket_start": pd.Series(dtype="datetime64[us]"),
                  "value": pd.Series(dtype=np.float64)}
             )
-        return pd.concat(frames, ignore_index=True)
+        ns = np.array([len(t) for t in ts_list])
+        return pd.DataFrame(
+            {
+                "conv_id": np.repeat(pdf["conv_id"].to_numpy(), ns),
+                "metric": np.repeat(pdf["metric"].to_numpy(), ns),
+                "bucket_start": np.concatenate(ts_list).astype("datetime64[us]"),
+                "value": np.concatenate(val_list),
+            }
+        )
 
     # mapInPandas: each chunk row explodes independently, no shuffle at all
     return df.mapInPandas(

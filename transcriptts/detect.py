@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .kernels.cusum import cusum as _cusum_kernel
+from .partitioning import kernel_partitions
 from .kernels.pelt import pelt as _pelt_kernel
 from .kernels.pelt import select_penalty as _select_penalty_kernel
 
@@ -43,7 +44,7 @@ def detect_changepoints(
         return pd.DataFrame({"conv_id": pdf["conv_id"].iloc[0], "breakpoint_idx": bps})
 
     return (
-        df.select("conv_id", order_col, value_col)
+        kernel_partitions(df.select("conv_id", order_col, value_col), "conv_id")
         .groupBy("conv_id")
         .applyInPandas(run, "conv_id string, breakpoint_idx long")
     )
@@ -69,7 +70,7 @@ def detect_cusum(
         return pd.DataFrame({"conv_id": pdf["conv_id"].iloc[0], "changepoint_idx": cps})
 
     return (
-        df.select("conv_id", order_col, value_col)
+        kernel_partitions(df.select("conv_id", order_col, value_col), "conv_id")
         .groupBy("conv_id")
         .applyInPandas(run, "conv_id string, changepoint_idx long")
     )
@@ -112,7 +113,7 @@ def select_penalties(
             )
 
     return (
-        df.select("conv_id", order_col, value_col)
+        kernel_partitions(df.select("conv_id", order_col, value_col), "conv_id")
         .groupBy("conv_id")
         .applyInPandas(
             run,

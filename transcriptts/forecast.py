@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 from .kernels import forecast as K
+from .partitioning import kernel_partitions
 
 METHODS = ("ses", "holt", "linear")
 
@@ -48,7 +49,7 @@ def forecast(
         )
 
     return (
-        df.select("conv_id", order_col, value_col)
+        kernel_partitions(df.select("conv_id", order_col, value_col), "conv_id")
         .groupBy("conv_id")
         .applyInPandas(run, "conv_id string, h int, yhat double")
     )

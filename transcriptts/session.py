@@ -34,7 +34,14 @@ def get_spark(
         .master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Byte-based post-shuffle coalescing is right for JVM aggregates but
+        # wrong for CPU-bound grouped Python kernels: a few-MB input gets
+        # coalesced to 1-2 partitions and the kernel stage runs on one core
+        # (measured 105s -> 11.5s for penalty selection at local[32]).
+        # Shuffle width is already sized to cores above, so coalescing buys
+        # little here; kernel stages additionally pin their own width via
+        # partitioning.kernel_partitions for sessions that re-enable this.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

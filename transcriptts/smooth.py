@@ -77,8 +77,10 @@ def smooth(
             }
         )
 
+    from .partitioning import kernel_partitions
+
     return (
-        df.select("conv_id", order_col, value_col)
+        kernel_partitions(df.select("conv_id", order_col, value_col), "conv_id")
         .groupBy("conv_id")
         .applyInPandas(run, _OUT_SCHEMA)
     )
