@@ -407,14 +407,21 @@ def cosine_topk(
             "pass allow_self_all_pairs=True only for small exactness baselines "
             "(self-similarity at scale belongs to ann_lsh_topk)"
         )
-    base = emb.select(F.col(id_col).alias("cid"), F.col(vec_col).cast("array<double>").alias("cvec"))
-    qs = (queries if queries is not None else emb).select(
-        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qvec")
+    base = emb.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).cast("array<double>").alias("cvec"),
+    ).withColumn("cnorm", _norm(F.col("cvec")))
+    qs = (
+        (queries if queries is not None else emb)
+        .select(F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("qvec"))
+        .withColumn("qnorm", _norm(F.col("qvec")))
     )
+    # norms are computed once per row BEFORE the join (identical fp values,
+    # 1/|Q| resp. 1/|corpus| of the per-pair work)
     sims = base.join(F.broadcast(qs), F.col("cid") != F.col("qid")).select(
         "qid",
         "cid",
-        (_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cos"),
+        (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
@@ -466,13 +473,15 @@ def ann_lsh_topk(
     for i, b in enumerate(bits):
         term = F.shiftleft(b.cast("long"), i)
         bucket = term if bucket is None else bucket + term
-    tagged = emb.select(F.col(id_col).alias("id"), v.alias("vec"), bucket.alias("bucket"))
-    a = tagged.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "bucket")
-    b = tagged.select(F.col("id").alias("cid"), F.col("vec").alias("cvec"), "bucket")
+    tagged = emb.select(
+        F.col(id_col).alias("id"), v.alias("vec"), bucket.alias("bucket")
+    ).withColumn("nrm", _norm(F.col("vec")))
+    a = tagged.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "bucket", F.col("nrm").alias("qnorm"))
+    b = tagged.select(F.col("id").alias("cid"), F.col("vec").alias("cvec"), "bucket", F.col("nrm").alias("cnorm"))
     sims = (
         a.join(b, "bucket")
         .where(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", (_dot(F.col("qvec"), F.col("cvec")) / (_norm(F.col("qvec")) * _norm(F.col("cvec")))).alias("cos"))
+        .select("qid", "cid", (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"))
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
