@@ -302,6 +302,48 @@ def _q_savgol(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_savgol_w5_p2() -> str:
+    """SavGol(w=5, p=2, derivative 0) collapses to a closed form: the middle
+    restore quirk returns the INPUT for positions half..n-half-1, series
+    shorter than 2w+1 pass through, and only the 4 edge points are computed
+    — each a fixed linear map (polynomial hat matrix) of the first/last 5
+    values. The hat rows are derived HERE from the kernel's own
+    fit/eval functions (unit-vector probes), so the oracle's literal
+    coefficients match the kernel to ~1e-13 — far inside the 6-dp rounding
+    window."""
+    import numpy as np
+
+    from transcriptts.kernels.smoothing import eval_polynomial, fit_polynomial
+
+    H = np.zeros((2, 5))
+    G = np.zeros((2, 5))
+    for j in range(5):
+        e = np.zeros(5)
+        e[j] = 1.0
+        c = fit_polynomial(np.arange(5), e, 2)
+        H[:, j] = eval_polynomial(c, np.arange(2))
+        G[:, j] = eval_polynomial(c, np.array([3.0, 4.0]))
+
+    def dot_sql(row, idx_terms):
+        return " + ".join(f"{float(c)!r} * {t}" for c, t in zip(row, idx_terms))
+
+    first5 = [f"vs[{k}]" for k in range(1, 6)]
+    last5 = [f"vs[n - {4 - k}]" for k in range(5)]
+    return f"""
+WITH {_T_SQL},
+s AS (SELECT conv_id, list(value ORDER BY turn_idx) AS vs, count(*) AS n FROM t GROUP BY conv_id),
+u AS (SELECT conv_id, n, vs, unnest(generate_series(1, n)) AS i FROM s)
+SELECT conv_id, cast(i - 1 AS bigint) AS pos,
+       {_r6('''CASE WHEN n < 11 THEN vs[i]
+            WHEN i = 1 THEN ''' + dot_sql(H[0], first5) + '''
+            WHEN i = 2 THEN ''' + dot_sql(H[1], first5) + '''
+            WHEN i = n - 1 THEN ''' + dot_sql(G[0], last5) + '''
+            WHEN i = n THEN ''' + dot_sql(G[1], last5) + '''
+            ELSE vs[i] END''', 'value')}
+FROM u
+"""
+
+
 # --- changepoints (SURVEY §2.3/§2.4) — not SQL-expressible → rows-only -------
 
 
@@ -1119,6 +1161,7 @@ def oracle_sql() -> dict[str, str]:
         "sma_w5": _SQL_SMA,
         "wma_w3": _SQL_WMA,
         "ema_a05": _SQL_EMA,
+        "savgol_w5_p2": _sql_savgol_w5_p2(),
         "cusum_z3": _SQL_CUSUM,
         "ses_forecast_a03": _SQL_SES,
         "linear_forecast": _SQL_LINEAR,
