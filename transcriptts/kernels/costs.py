@@ -405,6 +405,15 @@ class ARCost(CostFunction):
             raise ValueError("AR cost supports univariate signals only")
         self._x = x[0]
         self._n = len(self._x)
+        if self.order == 1:
+            # prefix sums for the closed-form AR(1) batch path: the lagged
+            # pair (z, y) = (x[i-1], x[i]) contributes to five moments
+            xv = self._x
+            z = np.zeros(1)
+            self._ps = np.concatenate([z, np.cumsum(xv)])
+            self._ps2 = np.concatenate([z, np.cumsum(xv * xv)])
+            zy = xv[:-1] * xv[1:] if self._n > 1 else np.empty(0)
+            self._pzy = np.concatenate([z, np.cumsum(zy)])
         return self
 
     def min_segment_length(self):
@@ -442,6 +451,54 @@ class ARCost(CostFunction):
             )
         rss = self._rss(start, end)
         return np.inf if rss is None else rss
+
+    def cost_batch(self, starts, end):
+        """Closed-form AR(1)-with-intercept RSS from prefix sums: the 2x2
+        normal equations solve explicitly (Cramer), so the whole candidate
+        array is one numpy expression. Degeneracy mirrors the scalar path:
+        near-constant segments (the allclose collinearity guard) and
+        singular systems return +inf. Values agree with the scalar
+        np.linalg.solve path to ~ulp; orders > 1 or intercept-free models
+        fall back to the generic per-start loop."""
+        if self.order != 1 or not self.include_intercept:
+            return super().cost_batch(starts, end)
+        starts = np.asarray(starts, dtype=np.int64)
+        x = self._x
+        lengths = end - starts
+        n_eq = (lengths - 1).astype(np.float64)
+        # pair i covers (z, y) = (x[i-1], x[i]) for i in [s+1, end)
+        Sy = self._ps[end] - self._ps[starts + 1]
+        Sz = self._ps[end - 1] - self._ps[starts]
+        Sy2 = self._ps2[end] - self._ps2[starts + 1]
+        Sz2 = self._ps2[end - 1] - self._ps2[starts]
+        Szy = self._pzy[end - 1] - self._pzy[starts]
+        det = n_eq * Sz2 - Sz * Sz
+        with np.errstate(divide="ignore", invalid="ignore"):
+            a0 = (Sz2 * Sy - Sz * Szy) / det
+            a1 = (n_eq * Szy - Sz * Sy) / det
+            rss = (
+                Sy2
+                + a0 * a0 * n_eq
+                + a1 * a1 * Sz2
+                - 2.0 * a0 * Sy
+                - 2.0 * a1 * Szy
+                + 2.0 * a0 * a1 * Sz
+            )
+        # the scalar path's collinearity guard: allclose(seg, seg[0])
+        seg0 = x[starts]
+        rmax = np.empty(len(starts))
+        rmin = np.empty(len(starts))
+        lo = int(starts.min()) if len(starts) else 0
+        if len(starts):
+            sufmax = np.maximum.accumulate(x[lo:end][::-1])[::-1]
+            sufmin = np.minimum.accumulate(x[lo:end][::-1])[::-1]
+            rmax = sufmax[starts - lo]
+            rmin = sufmin[starts - lo]
+        constant = (np.abs(rmax - seg0) <= DEFAULT_EPSILON) & (
+            np.abs(seg0 - rmin) <= DEFAULT_EPSILON
+        )
+        bad = constant | (det == 0.0) | ~np.isfinite(rss)
+        return np.where(bad, np.inf, np.maximum(rss, 0.0))
 
     def likelihood_metric(self, start, end):
         length = self._check(start, end, self._n)
