@@ -19,6 +19,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from transcriptts import oracles as _oracles
+
 # --- shared projection ------------------------------------------------------
 
 # DuckDB CTEs defining the same transcripts projection used by the Spark side.
@@ -257,6 +259,39 @@ FROM w WHERE turn_idx <= n - 5
 """
 
 
+def _q_sma_mirror(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA with mirror padding — same-length output, symmetric edge reflection
+    (SignalPadding.cs:99-111 via kernels/smoothing.apply_padding)."""
+    from transcriptts.smooth import smooth
+
+    return _round6(smooth(_signal(spark, sf_dir), "sma", window_size=5, padding="mirror"), "value")
+
+
+# mirror padding for w=5 (half=2): out[i] = mean(x[refl(i-2)..refl(i+2)]) with
+# symmetric reflection refl(j) = -1-j below 0 and 2n-1-j above n-1 — the
+# np.pad(mode='symmetric') extension written as direct list indexing (kernel:
+# transcriptts/kernels/smoothing.py:54-55). Series with n < half raise in the
+# kernel (apply_padding's C#-faithful bounds check) → zero rows; mirrored here
+# by the n >= 2 filter.
+_SQL_SMA_MIRROR = f"""
+WITH {_T_SQL},
+s AS (
+  SELECT conv_id, list(value ORDER BY turn_idx) AS vs, count(*)::BIGINT AS n
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id, cast(i AS bigint) AS pos,
+       {_r6('''(
+         vs[CASE WHEN i - 2 < 0 THEN -(i - 2) WHEN i - 2 >= n THEN 2 * n - (i - 2) ELSE i - 1 END]
+       + vs[CASE WHEN i - 1 < 0 THEN -(i - 1) WHEN i - 1 >= n THEN 2 * n - (i - 1) ELSE i END]
+       + vs[i + 1]
+       + vs[CASE WHEN i + 1 >= n THEN 2 * n - (i + 1) ELSE i + 2 END]
+       + vs[CASE WHEN i + 2 >= n THEN 2 * n - (i + 2) ELSE i + 3 END]
+       ) / 5.0''', 'value')}
+FROM s, unnest(generate_series(0, n - 1)) AS u(i)
+WHERE n >= 2
+"""
+
+
 def _q_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptts.smooth import smooth
 
@@ -408,7 +443,9 @@ def _q_pelt_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _standardized_signal(spark, sf_dir)
     bps = detect_changepoints(s, penalty=10.0, cost="l2", min_size=3)
     out = segment_stats(s, bps)
-    return _round6(out, "seg_mean", "seg_min", "seg_max", "seg_var")
+    # seg_var at 4 dp: var_pop partial-aggregation order differs per engine,
+    # so a 6-dp boundary can straddle a 1-ulp difference (see _round6)
+    return _round6(_round6(out, "seg_mean", "seg_min", "seg_max"), "seg_var", digits=4)
 
 
 def _q_penalty_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -550,6 +587,15 @@ def _q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _round6(
         forecast(_signal(spark, sf_dir), 3, "holt", alpha=0.5, beta=0.5), "yhat"
     )
+
+
+def _q_holt_opt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-searched Holt — the reference's DEFAULT parameter path when
+    alpha/beta are unset (HoltMethodExtrapolator.cs:201-299): 10x10 (a, b)
+    grid minimizing one-step-ahead SSE, strict-'<' selection in grid order."""
+    from transcriptts.forecast import forecast
+
+    return _round6(forecast(_signal(spark, sf_dir), 3, "holt"), "yhat")
 
 
 def _sql_holt_additive(phi: float = 1.0, horizon: int = 3, signal: str = "value") -> str:
@@ -1110,10 +1156,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "segment_stats_k8": _q_segment_stats,
         "gapfill_locf_interp_1h": _q_gapfill,
         "sma_w5": _q_sma,
+        "sma_w5_mirror": _q_sma_mirror,
         "wma_w3": _q_wma,
         "ema_a05": _q_ema,
         "savgol_w5_p2": _q_savgol,
         "pelt_l2": _q_pelt,
+        "pelt_l2_jump5": _q_pelt_cost("l2", 10.0, jump=5),
         "pelt_l1": _q_pelt_cost("l1", 5.0),
         "pelt_rbf": _q_pelt_cost("rbf", 2.0),
         "pelt_gaussian": _q_pelt_cost("gaussian", 10.0),
@@ -1130,6 +1178,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_forecast": _q_holt,
         "holt_damped_forecast": _q_holt_damped,
         "holt_mul_forecast": _q_holt_mul,
+        "holt_opt_forecast": _q_holt_opt,
         "gorilla_roundtrip_agg": _q_gorilla_roundtrip,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
@@ -1159,6 +1208,7 @@ def oracle_sql() -> dict[str, str]:
         "segment_stats_k8": _SQL_SEGMENT_STATS,
         "gapfill_locf_interp_1h": _SQL_GAPFILL,
         "sma_w5": _SQL_SMA,
+        "sma_w5_mirror": _SQL_SMA_MIRROR,
         "wma_w3": _SQL_WMA,
         "ema_a05": _SQL_EMA,
         "savgol_w5_p2": _sql_savgol_w5_p2(),
@@ -1168,6 +1218,23 @@ def oracle_sql() -> dict[str, str]:
         "holt_forecast": _sql_holt_additive(phi=1.0),
         "holt_damped_forecast": _sql_holt_additive(phi=0.5),
         "holt_mul_forecast": _SQL_HOLT_MUL,
+        "holt_opt_forecast": _oracles.holt_opt_sql(_T_SQL, _r6),
+        # PELT DP family: the pruned DP + CP backtracking run as list_reduce
+        # folds in DuckDB (transcriptts/oracles.py) — semantics identical to
+        # the kernel including the pruned-admissible-set young-window quirk,
+        # the jump hop, and PELT_TIE_EPSILON-banded tie-breaking.
+        "pelt_l2": _oracles.pelt_l2_sql(_T_SQL, 10.0, 3),
+        "pelt_l2_jump5": _oracles.pelt_l2_sql(_T_SQL, 10.0, 3, jump=5),
+        "pelt_l1": _oracles.pelt_l1_sql(_T_SQL, 5.0, 3),
+        "pelt_rbf": _oracles.pelt_rbf_sql(_T_SQL, 2.0, 3),
+        "pelt_gaussian": _oracles.pelt_gaussian_sql(_T_SQL, 10.0, 3),
+        "pelt_ar1": _oracles.pelt_ar1_sql(_T_SQL, 10.0, 3),
+        "pelt_poisson": _oracles.pelt_poisson_sql(_T_SQL, 20.0, 3),
+        "pelt_bernoulli": _oracles.pelt_bernoulli_sql(_T_SQL, 2.0, 3),
+        "pelt_binomial": _oracles.pelt_binomial_sql(_T_SQL, 1.0, 3),
+        "pelt_segment_stats": _oracles.pelt_segment_stats_sql(_T_SQL, _r6, 10.0, 3),
+        "penalty_selection_bic": _oracles.penalty_selection_sql(_T_SQL, _r6, "bic", 3, 20),
+        "penalty_selection_aicc": _oracles.penalty_selection_sql(_T_SQL, _r6, "aicc", 3, 20),
         "gorilla_roundtrip_agg": _SQL_GORILLA,
         "text_stats": _SQL_TEXT_STATS,
         "quality_score": _SQL_QUALITY,
@@ -1184,10 +1251,6 @@ def oracle_sql() -> dict[str, str]:
         # savgol_w5_p2: edge polynomial re-fit + middle restore is not
         # SQL-expressible → rows-only check; golden parity covered in
         # tests/test_kernels_smoothing.py::test_savgol_golden_middle_restore
-        # pelt_* / pelt_segment_stats / penalty_selection_*: the PELT DP
-        # itself is not SQL-expressible — rows-only; goldens in
-        # tests/test_kernels_detect.py (CUSUM and Holt ARE folds, so they
-        # carry full oracles above)
         # media_features / media_frame_plan: binary payloads + sha-derived
         # stub features — rows-only by design
     }

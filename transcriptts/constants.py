@@ -29,6 +29,18 @@ RBF_EXPONENT_MAX = 1e2
 # (MovingAverage.cs:244).
 WEIGHT_SUM_EPSILON = 1e-10
 
+# PELT candidate/pruning tie band. The reference breaks exact-equal candidate
+# ties via strict '<' on raw doubles (PELTAlgorithm.cs:224-338); for discrete
+# costs (Poisson/Bernoulli/Binomial) mathematically-equal decompositions are
+# common, and which side of a '<' they land on is libm-ulp noise that differs
+# between engines (numpy log vs DuckDB ln), making bit-reproducible oracles
+# impossible. Both the kernel DP and the SQL oracle therefore treat candidates
+# within this absolute band of the minimum as ties (largest prev wins, the
+# reference's own tie direction) and prune with the same band, so the chosen
+# breakpoints are engine-portable. Margins between genuinely different optima
+# are penalty-sized (>> 1e-9), so this never changes a non-tie decision.
+PELT_TIE_EPSILON = 1e-9
+
 
 def approx_equal(a: float, b: float, eps: float = DEFAULT_EPSILON) -> bool:
     """Absolute-tolerance equality (NumericUtils.AreApproximatelyEqual)."""

@@ -27,7 +27,7 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from ..constants import DEFAULT_EPSILON
+from ..constants import DEFAULT_EPSILON, PELT_TIE_EPSILON
 from .costs import CostFunction, make_cost
 
 
@@ -42,8 +42,9 @@ def pelt_segment(
     Semantics are identical to the reference's sequential loop
     (PELTAlgorithm.cs:224-338), including:
     - tie-breaking: the scan walks prev DESCENDING with strict `<`, so among
-      equal candidates the LARGEST prev wins → last argmin in ascending
-      order;
+      equal candidates the LARGEST prev wins; equality is banded by
+      PELT_TIE_EPSILON so discrete-cost exact ties resolve identically
+      across engines (constants.py documents why);
     - cost failures (NaN from cost_batch == SegmentCostException): skipped
       as candidates; kept by pruning while F[s] is finite (:247-257, 315);
     - the Jump hop quirk (:258-266): when Jump > 1 and the scan reaches an
@@ -76,9 +77,13 @@ def pelt_segment(
         if elig_idx.size:
             cands = F[mature[elig_idx]] + costs[elig_idx] + penalty
             vc = np.where(np.isnan(cands), np.inf, cands)
-            j = int(vc.size - 1 - np.argmin(vc[::-1]))  # last min → largest prev
-            best = float(vc[j])
-            best_cp = int(mature[elig_idx[j]])
+            best = float(vc.min())
+            if math.isfinite(best):
+                # ties within PELT_TIE_EPSILON of the min → largest prev (the
+                # reference's tie direction), banded so the choice is stable
+                # across engines' libm ulp noise (see constants.py)
+                tied = np.nonzero(vc <= best + PELT_TIE_EPSILON)[0]
+                best_cp = int(mature[elig_idx[tied[-1]]])
 
         if math.isinf(best):
             F[t] = np.inf
@@ -91,7 +96,9 @@ def pelt_segment(
         parts = []
         if k:
             keep_mature = np.where(
-                np.isnan(costs), np.isfinite(F[mature]), F[mature] + costs <= F[t]
+                np.isnan(costs),
+                np.isfinite(F[mature]),
+                F[mature] + costs <= F[t] + PELT_TIE_EPSILON,
             )
             parts.append(mature[keep_mature])
         young = adm[k:]
