@@ -191,3 +191,63 @@ def test_select_penalty_other_methods(method):
     x = np.concatenate([np.full(25, 1.0), np.full(25, 9.0)]) + np.cos(np.arange(50)) * 0.2
     res = select_penalty(x, cost="gaussian", method=method, min_size=2)
     assert res.breakpoints == [25]
+
+
+# --- vectorized batch paths vs scalar costs ----------------------------------
+
+
+def test_l1_cost_batch_matches_scalar_both_paths():
+    """Full-table (short series) and per-endpoint (long series) L1 batch paths
+    agree with the scalar on-demand-median cost to summation-order ulp."""
+    rng = np.random.default_rng(7)
+    for n, force_long in ((37, False), (37, True)):
+        x = rng.normal(size=(2, n))
+        c = C.L1Cost().fit(x)
+        if force_long:
+            c._FULL_TABLE_MAX_N = 0  # exercise the per-endpoint path
+        for end in (1, 5, n // 2, n):
+            starts = np.arange(end)
+            got = c.cost_batch(starts, end)
+            ref = np.array([c.cost(int(s), end) for s in starts])
+            assert np.allclose(ref, got, atol=1e-9)
+
+
+def test_ar2_cost_batch_matches_lstsq_rss():
+    """AR(2) closed-form centered Cramer vs an explicit OLS solve."""
+    rng = np.random.default_rng(8)
+    x = rng.normal(size=80).cumsum() * 0.3 + rng.normal(size=80)
+    c = C.ARCost(order=2).fit(x)
+    end = 80
+    starts = np.arange(0, end - 4)
+    got = c.cost_batch(starts, end)
+    for s in (0, 10, 40, 70):
+        seg = x[s:end]
+        L = len(seg)
+        A = np.column_stack([np.ones(L - 2), seg[1 : L - 1], seg[0 : L - 2]])
+        y = seg[2:]
+        coef, *_ = np.linalg.lstsq(A, y, rcond=None)
+        rss = float(((y - A @ coef) ** 2).sum())
+        assert abs(got[s] - rss) <= 1e-6 * max(1.0, rss)
+
+
+def test_ar_cost_batch_failure_encoding():
+    """Unified encoding: too-short segments (scalar raise) -> NaN; degenerate
+    (constant / singular) segments (scalar +inf) -> +inf."""
+    x = np.concatenate([np.full(10, 2.0), np.arange(10.0)])
+    for order in (1, 2):
+        c = C.ARCost(order=order).fit(x)
+        m = c.min_segment_length()
+        got = c.cost_batch(np.array([20 - m + 1, 20 - m]), 20)
+        assert np.isnan(got[0])  # length m-1: scalar raises
+        assert np.isfinite(got[1]) or np.isinf(got[1])
+        # constant segment -> +inf on both paths
+        gc = c.cost_batch(np.array([0]), 10 if order == 1 else 9)
+        assert np.isinf(gc[0])
+        assert np.isinf(c.cost(0, 10 if order == 1 else 9))
+
+
+def test_pelt_ar2_detects_variance_shift():
+    rng = np.random.default_rng(9)
+    x = np.concatenate([rng.normal(size=150), rng.normal(size=150) * 4 + 8])
+    bps = pelt(x, penalty=30.0, cost="ar", order=2, min_size=5)
+    assert any(abs(b - 150) <= 5 for b in bps)

@@ -106,3 +106,28 @@ def test_linear_window():
 def test_linear_validation():
     with pytest.raises(ValueError):
         linear([1.0], 1)
+
+
+def test_holt_grid_vectorized_matches_scalar_fold():
+    """The broadcast SSE grid is bit-equal to the per-combo scalar fold for
+    additive trend (the oracle replays this), <=1e-9 rel for multiplicative
+    (numpy SIMD pow vs scalar pow)."""
+    from transcriptts.kernels.forecast import _holt_sse, _holt_sse_grid
+
+    rng = np.random.default_rng(11)
+    a_vals = np.linspace(0, 1, 10)
+    b_vals = np.linspace(0, 1, 10)
+    p_vals = np.array([1.0])
+    for trend in ("additive", "multiplicative"):
+        x = np.abs(rng.normal(size=25)) + 0.1 if trend == "multiplicative" else rng.normal(size=25)
+        grid = _holt_sse_grid(x, a_vals, b_vals, p_vals, trend, None, None, 1e-10)
+        for ia in (0, 3, 9):
+            for ib in (0, 5, 9):
+                ref = _holt_sse(x, a_vals[ia], b_vals[ib], 1.0, trend, None, None, 1e-10)
+                got = grid[ia, ib, 0]
+                if np.isinf(ref) or np.isinf(got):
+                    assert np.isinf(ref) == np.isinf(got)
+                elif trend == "additive":
+                    assert ref == got
+                else:
+                    assert abs(ref - got) <= 1e-9 * max(1.0, abs(ref))

@@ -111,9 +111,15 @@ class L1Cost(CostFunction):
     """Sum of absolute deviations from the segment median per dimension
     (L1CostFunction.cs:89-115); medians computed on demand."""
 
+    # below this length the FULL O(n^2) segment-cost table is materialized in
+    # one vectorized pass (n^3/2 doubles transient; 200 -> ~32 MB), making the
+    # DP's per-endpoint batch a pure table gather, same shape as L2's
+    _FULL_TABLE_MAX_N = 200
+
     def fit(self, signal):
         self._x = as_matrix(signal)
         self._n = self._x.shape[1]
+        self._table = None
         return self
 
     def cost(self, start, end):
@@ -121,6 +127,103 @@ class L1Cost(CostFunction):
         seg = self._x[:, start:end]
         med = np.median(seg, axis=1, keepdims=True)
         return float(np.abs(seg - med).sum())
+
+    # keep transient sort matrices under ~32 MB of doubles per chunk
+    _BATCH_CHUNK_ELEMS = 4 << 20
+
+    # class-level so every L1Cost instance in a worker process shares one
+    # grow-only workspace: a Spark applyInPandas batch fits one cost object
+    # per conversation, and per-instance buffers would re-pay the first-touch
+    # page-fault cost (catastrophic on cgroup-limited hosts: ~1000x the
+    # arithmetic) for every series. Python workers are single-threaded, so a
+    # shared mutable buffer is safe.
+    _ws = None
+
+    @classmethod
+    def _workspace(cls, elems: int):
+        ws = cls._ws
+        if ws is None or ws[0].size < elems:
+            cap = max(elems, 2 * (ws[0].size if ws else 0))
+            ws = (
+                np.empty(cap),                 # segment values (sorted in place)
+                np.empty(cap),                 # row prefix sums
+                np.empty(cap, dtype=np.int64), # gather indices
+                np.empty(cap, dtype=bool),     # pad mask
+            )
+            cls._ws = ws
+        return ws
+
+    def _sad_batch(self, starts: np.ndarray, lengths: np.ndarray) -> np.ndarray:
+        """Vectorized sum-of-absolute-deviations for arbitrary (start, length)
+        segment pairs.
+
+        Uses the identity  sum|x - median(x)| = sum(upper half) - sum(lower
+        half)  over the SORTED segment (with half = len//2, both parities):
+        the median itself never needs materializing. One right-padded
+        (segments x maxlen) matrix per dimension is sorted row-wise (+inf
+        pads sort last) and prefix-summed; the two half-sums are then plain
+        gathers. Values equal the scalar path up to summation-order ulp —
+        inside the DP's PELT_TIE_EPSILON band. Rows are chunked so the
+        transient matrix stays memory-bounded; all intermediates live in
+        reused workspace buffers (fresh allocations pay first-touch page
+        faults per call on cgroup-limited hosts — measurably ~1000x the
+        arithmetic cost)."""
+        maxlen = int(lengths.max())
+        out = np.zeros(starts.size)
+        chunk = max(1, self._BATCH_CHUNK_ELEMS // maxlen)
+        offs = np.arange(maxlen, dtype=np.int64)
+        bufA, bufC, bufI, bufP = self._workspace(min(chunk, starts.size) * maxlen)
+        for c0 in range(0, starts.size, chunk):
+            sl = slice(c0, min(c0 + chunk, starts.size))
+            s_c, l_c = starts[sl], lengths[sl]
+            rows = s_c.size
+            shape = (rows, maxlen)
+            idx = bufI[: rows * maxlen].reshape(shape)
+            np.add(s_c[:, None], offs[None, :], out=idx)
+            np.minimum(idx, self._n - 1, out=idx)
+            pad = bufP[: rows * maxlen].reshape(shape)
+            np.greater_equal(offs[None, :], l_c[:, None], out=pad)
+            half = l_c // 2
+            for dim in range(self._x.shape[0]):
+                A = bufA[: rows * maxlen].reshape(shape)
+                np.take(self._x[dim], idx, out=A)
+                A[pad] = np.inf
+                A.sort(axis=1)
+                A[pad] = 0.0  # pad positions are sort-invariant (suffix per row)
+                C = bufC[: rows * maxlen].reshape(shape)
+                np.cumsum(A, axis=1, out=C)
+                # C[i, p-1] = sum of the p smallest; p = 0 → 0
+                pick = lambda pos: np.take_along_axis(C, pos[:, None], axis=1)[:, 0]
+                up = pick(l_c - 1) - pick(l_c - half - 1)
+                low = np.where(half > 0, pick(np.maximum(half - 1, 0)), 0.0)
+                out[sl] += np.where(half > 0, up - low, 0.0)
+        return out
+
+    def _full_table(self) -> np.ndarray:
+        """All-pairs segment costs, flat-indexed by t(t-1)/2 + s for
+        0 <= s < t <= n: one _sad_batch call covering every segment, built
+        lazily on the first batch request. Bench-scale series (tens to low
+        hundreds of turns per conversation) hit this path, collapsing the
+        DP's per-endpoint work to a single gather — the same shape as L2."""
+        if self._table is None:
+            t = np.repeat(np.arange(1, self._n + 1), np.arange(1, self._n + 1))
+            s = np.concatenate([np.arange(tt) for tt in range(1, self._n + 1)])
+            self._table = self._sad_batch(s, t - s)
+        return self._table
+
+    def cost_batch(self, starts, end):
+        """Batch L1 costs: full-table gather for short series, per-endpoint
+        vectorized sort for long ones (replacing the per-candidate Python
+        np.median loop — one interpreted call per admissible s)."""
+        starts = np.asarray(starts, dtype=np.int64)
+        if starts.size == 0:
+            return np.empty(0)
+        lengths = (end - starts).astype(np.int64)
+        if (lengths < 1).any():
+            return super().cost_batch(starts, end)  # preserve scalar's raise→NaN
+        if self._n <= self._FULL_TABLE_MAX_N:
+            return self._full_table()[end * (end - 1) // 2 + starts]
+        return self._sad_batch(starts, lengths)
 
 
 class RBFCost(CostFunction):
@@ -405,15 +508,19 @@ class ARCost(CostFunction):
             raise ValueError("AR cost supports univariate signals only")
         self._x = x[0]
         self._n = len(self._x)
-        if self.order == 1:
-            # prefix sums for the closed-form AR(1) batch path: the lagged
-            # pair (z, y) = (x[i-1], x[i]) contributes to five moments
+        if self.order <= 2:
+            # prefix sums for the closed-form AR(1)/AR(2) batch paths: lag-0/1/2
+            # values and their products reduce every normal-equation moment to
+            # prefix differences
             xv = self._x
             z = np.zeros(1)
             self._ps = np.concatenate([z, np.cumsum(xv)])
             self._ps2 = np.concatenate([z, np.cumsum(xv * xv)])
             zy = xv[:-1] * xv[1:] if self._n > 1 else np.empty(0)
             self._pzy = np.concatenate([z, np.cumsum(zy)])
+            if self.order == 2:
+                z2y = xv[:-2] * xv[2:] if self._n > 2 else np.empty(0)
+                self._pz2y = np.concatenate([z, np.cumsum(z2y)])
         return self
 
     def min_segment_length(self):
@@ -453,52 +560,93 @@ class ARCost(CostFunction):
         return np.inf if rss is None else rss
 
     def cost_batch(self, starts, end):
-        """Closed-form AR(1)-with-intercept RSS from prefix sums: the 2x2
-        normal equations solve explicitly (Cramer), so the whole candidate
-        array is one numpy expression. Degeneracy mirrors the scalar path:
-        near-constant segments (the allclose collinearity guard) and
-        singular systems return +inf. Values agree with the scalar
-        np.linalg.solve path to ~ulp; orders > 1 or intercept-free models
-        fall back to the generic per-start loop."""
-        if self.order != 1 or not self.include_intercept:
+        """Closed-form AR(1)/AR(2)-with-intercept RSS from prefix sums: the
+        2x2 / 3x3 normal equations solve explicitly (Cramer), so the whole
+        candidate array is one numpy expression. Failure encoding matches the
+        scalar path exactly: segments shorter than min_segment_length (a
+        scalar-path raise, i.e. the reference's SegmentCostException) encode
+        as NaN; legitimately degenerate segments — near-constant (the
+        allclose collinearity guard) and singular systems — return +inf.
+        Values agree with the scalar np.linalg.solve path to ~ulp; orders
+        > 2 or intercept-free models fall back to the generic per-start
+        loop (documented slow path)."""
+        if self.order > 2 or not self.include_intercept:
             return super().cost_batch(starts, end)
         starts = np.asarray(starts, dtype=np.int64)
+        if starts.size == 0:
+            return np.empty(0)
         x = self._x
         lengths = end - starts
-        n_eq = (lengths - 1).astype(np.float64)
-        # pair i covers (z, y) = (x[i-1], x[i]) for i in [s+1, end)
-        Sy = self._ps[end] - self._ps[starts + 1]
-        Sz = self._ps[end - 1] - self._ps[starts]
-        Sy2 = self._ps2[end] - self._ps2[starts + 1]
-        Sz2 = self._ps2[end - 1] - self._ps2[starts]
-        Szy = self._pzy[end - 1] - self._pzy[starts]
-        det = n_eq * Sz2 - Sz * Sz
+        short = lengths < self.min_segment_length()
+        p = self.order
+        n_eq = (lengths - p).astype(np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
-            a0 = (Sz2 * Sy - Sz * Szy) / det
-            a1 = (n_eq * Szy - Sz * Sy) / det
-            rss = (
-                Sy2
-                + a0 * a0 * n_eq
-                + a1 * a1 * Sz2
-                - 2.0 * a0 * Sy
-                - 2.0 * a1 * Szy
-                + 2.0 * a0 * a1 * Sz
-            )
+            if p == 1:
+                # pair i covers (z, y) = (x[i-1], x[i]) for i in [s+1, end)
+                Sy = self._ps[end] - self._ps[starts + 1]
+                Sz = self._ps[end - 1] - self._ps[starts]
+                Sy2 = self._ps2[end] - self._ps2[starts + 1]
+                Sz2 = self._ps2[end - 1] - self._ps2[starts]
+                Szy = self._pzy[end - 1] - self._pzy[starts]
+                det = n_eq * Sz2 - Sz * Sz
+                a0 = (Sz2 * Sy - Sz * Szy) / det
+                a1 = (n_eq * Szy - Sz * Sy) / det
+                rss = (
+                    Sy2
+                    + a0 * a0 * n_eq
+                    + a1 * a1 * Sz2
+                    - 2.0 * a0 * Sy
+                    - 2.0 * a1 * Szy
+                    + 2.0 * a0 * a1 * Sz
+                )
+            else:
+                # row i covers (y, z1, z2) = (x[i], x[i-1], x[i-2]),
+                # i in [s+2, end). Short rows (-> NaN below) are index-clamped
+                # so s+2 never exceeds the prefix arrays.
+                sc = np.minimum(starts, max(end - p, 0))
+                Sy = self._ps[end] - self._ps[sc + 2]
+                S1 = self._ps[end - 1] - self._ps[sc + 1]
+                S2 = self._ps[end - 2] - self._ps[sc]
+                Sy2 = self._ps2[end] - self._ps2[sc + 2]
+                S11 = self._ps2[end - 1] - self._ps2[sc + 1]
+                S22 = self._ps2[end - 2] - self._ps2[sc]
+                S1y = self._pzy[end - 1] - self._pzy[sc + 1]
+                S12 = self._pzy[end - 2] - self._pzy[sc]
+                S2y = self._pz2y[end - 2] - self._pz2y[sc]
+                # centered (covariance-form) 2x2 Cramer: raw-moment 3x3
+                # Cramer cancels catastrophically when segment means dominate;
+                # centering removes the mean scale, and the intercept never
+                # needs materializing (RSS depends only on centered moments)
+                C11 = S11 - S1 * S1 / n_eq
+                C22 = S22 - S2 * S2 / n_eq
+                C12 = S12 - S1 * S2 / n_eq
+                C1y = S1y - S1 * Sy / n_eq
+                C2y = S2y - S2 * Sy / n_eq
+                Cyy = Sy2 - Sy * Sy / n_eq
+                det = C11 * C22 - C12 * C12
+                a1 = (C1y * C22 - C2y * C12) / det
+                a2 = (C2y * C11 - C1y * C12) / det
+                rss = Cyy - a1 * C1y - a2 * C2y
+                # relative singularity guard: collinear lag columns make det
+                # underflow relative to the covariance scale; the scalar
+                # np.linalg.solve may return unstable finite garbage there,
+                # so the batch path (and its oracle twin) declare +inf
+                det = np.where(
+                    np.abs(det) <= 1e-12 * np.maximum(C11 * C22, 1e-300), 0.0, det
+                )
         # the scalar path's collinearity guard: allclose(seg, seg[0])
-        seg0 = x[starts]
-        rmax = np.empty(len(starts))
-        rmin = np.empty(len(starts))
-        lo = int(starts.min()) if len(starts) else 0
-        if len(starts):
-            sufmax = np.maximum.accumulate(x[lo:end][::-1])[::-1]
-            sufmin = np.minimum.accumulate(x[lo:end][::-1])[::-1]
-            rmax = sufmax[starts - lo]
-            rmin = sufmin[starts - lo]
+        seg0 = x[np.minimum(starts, self._n - 1)]
+        lo = int(starts.min())
+        sufmax = np.maximum.accumulate(x[lo:end][::-1])[::-1]
+        sufmin = np.minimum.accumulate(x[lo:end][::-1])[::-1]
+        rmax = sufmax[np.minimum(starts - lo, sufmax.size - 1)]
+        rmin = sufmin[np.minimum(starts - lo, sufmin.size - 1)]
         constant = (np.abs(rmax - seg0) <= DEFAULT_EPSILON) & (
             np.abs(seg0 - rmin) <= DEFAULT_EPSILON
         )
         bad = constant | (det == 0.0) | ~np.isfinite(rss)
-        return np.where(bad, np.inf, np.maximum(rss, 0.0))
+        out = np.where(bad, np.inf, np.maximum(rss, 0.0))
+        return np.where(short, np.nan, out)
 
     def likelihood_metric(self, start, end):
         length = self._check(start, end, self._n)

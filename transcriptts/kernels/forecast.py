@@ -108,6 +108,59 @@ def _holt_sse(x, a, b, phi, trend_type, initial_level, initial_trend, eps) -> fl
         return np.inf
 
 
+def _holt_sse_grid(x, a_vals, b_vals, p_vals, trend_type, initial_level, initial_trend, eps):
+    """One-step-ahead SSE for EVERY (a, b, phi) combination at once: the state
+    recursion runs over t with the three parameter axes broadcast, replacing
+    the reference's triple parameter loop around a per-combo Python fold
+    (HoltMethodExtrapolator.cs:201-299) with len(x) vectorized steps.
+
+    Expression order inside each step is identical to _holt_sse / _holt_update
+    per element, so every ADDITIVE grid cell's SSE is bit-equal to the scalar
+    fold's (this is what the holt_opt oracle replays). Multiplicative cells
+    agree to ~1 ulp: numpy's array `**` may route through a SIMD libm whose
+    rounding differs from the scalar pow. The scalar guards (multiplicative
+    non-positive level/trend raises, the mid-loop non-finite check) become
+    masks: a cell that would have raised or gone non-finite freezes at +inf.
+    Returns shape (len(a), len(b), len(p)).
+    """
+    A = np.asarray(a_vals)[:, None, None]
+    B = np.asarray(b_vals)[None, :, None]
+    P = np.asarray(p_vals)[None, None, :]
+    shape = np.broadcast_shapes(A.shape, B.shape, P.shape)
+    try:
+        st0 = _holt_init(x, trend_type, initial_level, initial_trend, eps)
+    except (ValueError, FloatingPointError, OverflowError):
+        return np.full(shape, np.inf)
+    L = np.full(shape, st0.level)
+    T = np.full(shape, st0.trend)
+    sse = np.zeros(shape)
+    valid = np.ones(shape, dtype=bool)
+    with np.errstate(over="ignore", invalid="ignore", divide="ignore"):
+        if trend_type == "additive":
+            for v in x:
+                comp = L + P * T
+                err = v - comp
+                sse = sse + err * err
+                Ln = A * v + (1 - A) * comp
+                T = B * (Ln - L) + (1 - B) * (P * T)
+                L = Ln
+            return np.where(np.isfinite(sse), sse, np.inf)
+        for v in x:
+            ok = valid & (L > eps) & ((T > eps) | (np.abs(P) <= eps))
+            sse = np.where(valid & ~ok, np.inf, sse)
+            valid = ok
+            Tp = np.where(valid, T, 1.0) ** np.where(valid, P, 1.0)
+            err = v - L * Tp
+            sse = np.where(valid, sse + err * err, sse)
+            nf = valid & ~np.isfinite(sse)
+            sse = np.where(nf, np.inf, sse)
+            valid &= ~nf
+            Lp = L
+            L = np.where(valid, A * v + (1 - A) * (Lp * Tp), L)
+            T = np.where(valid, B * (L / np.where(valid, Lp, 1.0)) + (1 - B) * Tp, T)
+    return np.where(np.isfinite(sse), sse, np.inf)
+
+
 def holt(
     signal,
     horizon: int,
@@ -145,16 +198,15 @@ def holt(
             p_vals = np.clip(geps + np.arange(steps) * pstep, geps, 1.0 - geps)
         else:
             p_vals = np.array([phi if damp_trend else 1.0])
-        best = (np.inf, np.nan, np.nan, np.nan)
-        for av in a_vals:
-            for bv in b_vals:
-                for pv in p_vals:
-                    sse = _holt_sse(x, av, bv, pv, trend_type, initial_level, initial_trend, eps)
-                    if np.isfinite(sse) and sse < best[0]:
-                        best = (sse, av, bv, pv)
-        if not np.isfinite(best[0]):
+        sse = _holt_sse_grid(x, a_vals, b_vals, p_vals, trend_type, initial_level, initial_trend, eps)
+        # np.argmin returns the FIRST flat-index minimum, i.e. the first
+        # strict-'<' winner in (a, b, phi) loop-nesting order — the
+        # reference's selection exactly
+        flat = int(np.argmin(sse))
+        if not np.isfinite(sse.flat[flat]):
             raise ValueError("Parameter optimization failed to find valid parameters")
-        _, ea, eb, ep = best
+        ia, ib, ip = np.unravel_index(flat, sse.shape)
+        ea, eb, ep = float(a_vals[ia]), float(b_vals[ib]), float(p_vals[ip])
         if not damp_trend:
             ep = 1.0
     else:
