@@ -399,6 +399,29 @@ def _q_pelt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return detect_changepoints(_standardized_signal(spark, sf_dir), penalty=10.0, cost="l2", min_size=3)
 
 
+def _q_pelt_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate PELT: (z-scored value, z-scored token count) stacked into
+    the kernels' (2, N) matrix; L2 cost sums over dimensions (reference
+    PELTAlgorithm.cs:103-113, L2CostFunction.cs:105-139)."""
+    from transcriptts.detect import detect_changepoints
+    from transcriptts.rollup import token_count_col
+
+    s = _transcripts(spark, sf_dir).select(
+        "conv_id", "turn_idx", "value", token_count_col().alias("tc")
+    )
+    w = Window.partitionBy("conv_id")
+    sd_tc = F.stddev_pop("tc").over(w)
+    z = s.select(
+        "conv_id",
+        "turn_idx",
+        ((F.col("value") - F.avg("value").over(w)) / F.stddev_pop("value").over(w)).alias("va"),
+        F.when(sd_tc == 0, F.lit(0.0))
+        .otherwise((F.col("tc") - F.avg("tc").over(w)) / sd_tc)
+        .alias("vb"),
+    )
+    return detect_changepoints(z, penalty=10.0, cost="l2", min_size=3, value_cols=["va", "vb"])
+
+
 def _q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptts.detect import detect_cusum
 
@@ -1162,6 +1185,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "savgol_w5_p2": _q_savgol,
         "pelt_l2": _q_pelt,
         "pelt_l2_jump5": _q_pelt_cost("l2", 10.0, jump=5),
+        "pelt_l2_multi": _q_pelt_multi,
         "pelt_l1": _q_pelt_cost("l1", 5.0),
         "pelt_rbf": _q_pelt_cost("rbf", 2.0),
         "pelt_gaussian": _q_pelt_cost("gaussian", 10.0),
@@ -1225,6 +1249,7 @@ def oracle_sql() -> dict[str, str]:
         # the jump hop, and PELT_TIE_EPSILON-banded tie-breaking.
         "pelt_l2": _oracles.pelt_l2_sql(_T_SQL, 10.0, 3),
         "pelt_l2_jump5": _oracles.pelt_l2_sql(_T_SQL, 10.0, 3, jump=5),
+        "pelt_l2_multi": _oracles.pelt_l2_multi_sql(_T_SQL, 10.0, 3),
         "pelt_l1": _oracles.pelt_l1_sql(_T_SQL, 5.0, 3),
         "pelt_rbf": _oracles.pelt_rbf_sql(_T_SQL, 2.0, 3),
         "pelt_gaussian": _oracles.pelt_gaussian_sql(_T_SQL, 10.0, 3),

@@ -190,3 +190,37 @@ def test_frame_sample_plan(spark):
     rows = plan.groupBy("media_id").count().collect()
     assert all(r["count"] >= 1 for r in rows)
     assert plan.where("frame_idx % 100 != 0").count() == 0
+
+
+def test_ann_recall_floor(spark):
+    """OR-amplified LSH reaches >=0.9 planted-near-dup recall (BENCH/
+    ANN_RECALL.md records the full sweep); single-probe is strictly lower.
+    Planted pairs at cos ~0.98 — the dedup regime sign-LSH is built for."""
+    from collections import defaultdict
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((300, 64))
+    planted = base[:100] + rng.standard_normal((100, 64)) * 0.18
+    rows = [(i, base[i].tolist()) for i in range(300)] + [
+        (1000 + i, planted[i].tolist()) for i in range(100)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    def planted_recall(n_tables):
+        df = D.ann_lsh_topk(emb, topk=5, n_planes=8, dim=64, n_tables=n_tables)
+        A = defaultdict(set)
+        for r in df.select("qid", "cid").collect():
+            A[r["qid"]].add(r["cid"])
+        return sum(1 for i in range(100) if (1000 + i) in A[i] or i in A[1000 + i]) / 100
+
+    single, amplified = planted_recall(1), planted_recall(4)
+    assert amplified >= 0.9, amplified
+    assert single < amplified
+
+
+def test_jaccard_plan_has_no_cache_and_expression_sizes(docs):
+    """The corpus-sized shingle explode must not be cached (round-2 advice):
+    no InMemoryTableScan in the plan, and per-doc sizes come from the
+    expression-only shingle_array (no second explode for sizes)."""
+    plan = D.jaccard_pairs(docs, k=3, threshold=0.3)._jdf.queryExecution().toString()
+    assert "InMemoryTableScan" not in plan and "InMemoryRelation" not in plan

@@ -251,3 +251,17 @@ def test_pelt_ar2_detects_variance_shift():
     x = np.concatenate([rng.normal(size=150), rng.normal(size=150) * 4 + 8])
     bps = pelt(x, penalty=30.0, cost="ar", order=2, min_size=5)
     assert any(abs(b - 150) <= 5 for b in bps)
+
+
+def test_pelt_multivariate_l2_sums_dimensions():
+    """A change visible only in dim 2 is found multivariate but invisible to
+    dim 1 alone (reference PELTAlgorithm.cs:103-113: (D, N) matrix; multi-dim
+    L2 sums per-dimension SSEs, L2CostFunction.cs:105-139)."""
+    rng = np.random.default_rng(5)
+    d1 = rng.normal(size=60) * 0.05
+    d2 = np.concatenate([np.zeros(30), np.full(30, 4.0)]) + rng.normal(size=60) * 0.05
+    assert pelt(d1, penalty=5.0, cost="l2", min_size=3) == []
+    assert pelt(np.vstack([d1, d2]), penalty=5.0, cost="l2", min_size=3) == [30]
+    # 1-row 2D lift == 1D (reference Detect_SimpleSignal 2D variant)
+    sig = np.array([1.0, 1, 1, 5, 5, 5, 1, 1, 1])
+    assert pelt(sig[None, :], penalty=2.0, cost="l2") == pelt(sig, penalty=2.0, cost="l2") == [3, 6]

@@ -136,16 +136,22 @@ def dedup_exact(docs: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
-def word_shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """(id, shingle) pairs: k-word shingles of the lowercased token stream.
-    Docs with fewer than k tokens contribute their full token string."""
+def shingle_array(k: int = 3, text_col: str = "text") -> Column:
+    """Distinct k-word shingles of the lowercased token stream as an array
+    column (expression-only — no explode). Docs with fewer than k tokens
+    contribute their full token string."""
     toks = F.transform(ws_tokens(text_col), lambda x: F.lower(x))
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     sh = F.when(n >= k, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)))).otherwise(
         F.array(F.concat_ws(" ", toks))
     )
-    return docs.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(sh)).alias("shingle"))
+    return F.array_distinct(sh)
+
+
+def word_shingles(docs: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, shingle) pairs: shingle_array exploded."""
+    return docs.select(F.col(id_col).alias("id"), F.explode(shingle_array(k, text_col)).alias("shingle"))
 
 
 def jaccard_pairs(
@@ -161,15 +167,21 @@ def jaccard_pairs(
     J(A,B) = |A∩B| / (|A|+|B|-|A∩B|); intersection counted by joining on the
     shingle, union from per-doc shingle counts. Shingles appearing in more
     than max_shingle_df docs are dropped before the join (stop-shingle cap —
-    the skew guard; a shingle in d docs creates d^2 join rows)."""
-    sh = word_shingles(docs, k, text_col, id_col).cache()
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
-    # No forced broadcasts here: df_counts and sizes are O(corpus)-sized
-    # aggregates, so a hinted broadcast would blow the driver at scale. The
-    # joins stay plain shuffle joins — AQE still picks broadcast at runtime
-    # whenever the aggregated side is genuinely small.
-    df_counts = sh.groupBy("shingle").agg(F.count("*").alias("sdf"))
-    filtered = sh.join(df_counts.where(F.col("sdf") <= max_shingle_df), "shingle")
+    the skew guard; a shingle in d docs creates d^2 join rows).
+
+    Scale shape: per-doc sizes are an EXPRESSION on docs (size of the shingle
+    array — no explode, no shuffle), and the stop-shingle filter is a window
+    count over the exploded frame's own (shingle) partitioning — so the
+    corpus-sized explode is never cached and never joined against an
+    O(corpus) aggregate. No forced broadcasts: the sizes join stays a plain
+    shuffle join and AQE picks broadcast at runtime when a side is small."""
+    sizes = docs.select(F.col(id_col).alias("id"), F.size(shingle_array(k, text_col)).alias("n_sh"))
+    sh = word_shingles(docs, k, text_col, id_col)
+    filtered = (
+        sh.withColumn("sdf", F.count("*").over(Window.partitionBy("shingle")))
+        .where(F.col("sdf") <= max_shingle_df)
+        .drop("sdf")
+    )
     a = filtered.select(F.col("id").alias("id_a"), "shingle")
     b = filtered.select(F.col("id").alias("id_b"), "shingle")
     inter = (
@@ -434,31 +446,11 @@ def _hyperplanes(dim: int, n_planes: int, seed: int):
     return rng.standard_normal((n_planes, dim))
 
 
-def ann_lsh_topk(
-    emb: DataFrame,
-    topk: int = 5,
-    n_planes: int = 12,
-    seed: int = 42,
-    vec_col: str = "embedding",
-    id_col: str = "vec_id",
-    dim: int | None = None,
-) -> DataFrame:
-    """Approximate NN via random-hyperplane LSH: sign pattern of n_planes
-    projections → bucket; candidates only join within a bucket; exact cosine
-    re-ranks candidates. Recall trades off with n_planes; the scale path —
-    bucket join replaces the all-pairs product.
-
-    Pass `dim` explicitly to keep the plan fully lazy; omitting it falls
-    back to a driver-side single-row schema probe."""
-    if dim is None:
-        sample = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
-        if not sample:
-            return emb.sparkSession.createDataFrame([], "qid long, cid long, cos double, rank int")
-        dim = sample[0]["d"]
-    planes = _hyperplanes(dim, n_planes, seed)
-    v = F.col(vec_col).cast("array<double>")
-    bits = [
-        F.when(
+def _sign_bucket(v: Column, planes) -> Column:
+    """Packed sign-pattern bucket id for one hyperplane table (JVM-side)."""
+    bucket = None
+    for i, row in enumerate(planes):
+        bit = F.when(
             F.aggregate(
                 F.zip_with(v, F.array([F.lit(float(w)) for w in row]), lambda x, y: x * y),
                 F.lit(0.0),
@@ -467,21 +459,64 @@ def ann_lsh_topk(
             >= 0,
             F.lit(1),
         ).otherwise(F.lit(0))
-        for row in planes
-    ]
-    bucket = None
-    for i, b in enumerate(bits):
-        term = F.shiftleft(b.cast("long"), i)
+        term = F.shiftleft(bit.cast("long"), i)
         bucket = term if bucket is None else bucket + term
-    tagged = emb.select(
-        F.col(id_col).alias("id"), v.alias("vec"), bucket.alias("bucket")
-    ).withColumn("nrm", _norm(F.col("vec")))
-    a = tagged.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "bucket", F.col("nrm").alias("qnorm"))
-    b = tagged.select(F.col("id").alias("cid"), F.col("vec").alias("cvec"), "bucket", F.col("nrm").alias("cnorm"))
-    sims = (
-        a.join(b, "bucket")
-        .where(F.col("qid") != F.col("cid"))
-        .select("qid", "cid", (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"))
+    return bucket
+
+
+def ann_lsh_topk(
+    emb: DataFrame,
+    topk: int = 5,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int | None = None,
+    n_tables: int = 1,
+) -> DataFrame:
+    """Approximate NN via random-hyperplane LSH: sign pattern of n_planes
+    projections → bucket; candidates only join within a bucket; exact cosine
+    re-ranks candidates. Recall trades off with n_planes; the scale path —
+    bucket join replaces the all-pairs product.
+
+    `n_tables` > 1 enables OR-amplification: each table hashes with an
+    independent hyperplane set (seed + table index), a pair is a candidate if
+    it collides in ANY table, and candidates are deduped before the exact
+    re-rank. Recall rises ~(1 - (1 - p^b)^T) at T× the bucket-join cost —
+    measured in tests/test_datapipe.py::test_ann_recall_floor and recorded
+    in BENCH/ANN_RECALL.md.
+
+    Pass `dim` explicitly to keep the plan fully lazy; omitting it falls
+    back to a driver-side single-row schema probe."""
+    if dim is None:
+        sample = emb.select(F.size(vec_col).alias("d")).limit(1).collect()
+        if not sample:
+            return emb.sparkSession.createDataFrame([], "qid long, cid long, cos double, rank int")
+        dim = sample[0]["d"]
+    v = F.col(vec_col).cast("array<double>")
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                _sign_bucket(v, _hyperplanes(dim, n_planes, seed + t)).alias("b"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    tagged = (
+        emb.select(F.col(id_col).alias("id"), v.alias("vec"), F.explode(buckets).alias("bb"))
+        .select("id", "vec", F.col("bb.tbl").alias("tbl"), F.col("bb.b").alias("bucket"))
+        .withColumn("nrm", _norm(F.col("vec")))
+    )
+    a = tagged.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "tbl", "bucket", F.col("nrm").alias("qnorm"))
+    b = tagged.select(F.col("id").alias("cid"), F.col("vec").alias("cvec"), "tbl", "bucket", F.col("nrm").alias("cnorm"))
+    joined = a.join(b, ["tbl", "bucket"]).where(F.col("qid") != F.col("cid"))
+    if n_tables > 1:
+        # OR-amplification: same pair may collide in several tables — dedupe
+        # BEFORE the exact dot product so the re-rank work is per-pair
+        joined = joined.select("qid", "qvec", "qnorm", "cid", "cvec", "cnorm").distinct()
+    sims = joined.select(
+        "qid", "cid", (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos")
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
@@ -490,10 +525,22 @@ def ann_lsh_topk(
 def embedding_dedup(
     emb: DataFrame, threshold: float = 0.98, n_planes: int = 10, seed: int = 7,
     vec_col: str = "embedding", id_col: str = "vec_id", dim: int | None = None,
+    max_pairs_per_vector: int = 50, n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucketed candidates (near-dups at
-    cos >= threshold almost always share all sign bits), exact cosine check."""
-    ranked = ann_lsh_topk(emb, topk=50, n_planes=n_planes, seed=seed, vec_col=vec_col, id_col=id_col, dim=dim)
+    cos >= threshold almost always share all sign bits), exact cosine check.
+
+    CAP SEMANTICS: each query vector keeps at most `max_pairs_per_vector`
+    nearest candidates before the threshold filter — a vector with more
+    above-threshold near-dups than that emits only its top ones. The cap
+    bounds the per-bucket rank window at scale (a pathological bucket of m
+    near-identical vectors would otherwise emit m^2/2 pairs); raise it (or
+    pass None semantics via a large value) when exhaustive pair listing
+    matters more than bounded output."""
+    ranked = ann_lsh_topk(
+        emb, topk=max_pairs_per_vector, n_planes=n_planes, seed=seed,
+        vec_col=vec_col, id_col=id_col, dim=dim, n_tables=n_tables,
+    )
     return (
         ranked.where((F.col("cos") >= threshold) & (F.col("qid") < F.col("cid")))
         .select(F.col("qid").alias("id_a"), F.col("cid").alias("id_b"), "cos")

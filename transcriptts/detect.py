@@ -31,20 +31,32 @@ def detect_changepoints(
     jump: int = 1,
     value_col: str = "value",
     order_col: str = "turn_idx",
+    value_cols: list[str] | None = None,
     **cost_params,
 ) -> DataFrame:
-    """PELT breakpoints per conversation → (conv_id, breakpoint_idx)."""
+    """PELT breakpoints per conversation → (conv_id, breakpoint_idx).
+
+    Pass ``value_cols=[...]`` for MULTIVARIATE detection: the D columns stack
+    into the kernels' (D, N) matrix (reference layout PELTAlgorithm.cs:103-113)
+    and the cost sums over dimensions (e.g. L2CostFunction.cs:105-139 loops
+    rows), so a change visible in any dimension contributes to the segment
+    cost. ``value_col`` remains the univariate shorthand.
+    """
+    import numpy as np
     import pandas as pd
 
-    _pelt_kernel([0.0, 1.0], penalty=penalty, cost=cost, min_size=min_size, jump=jump, **cost_params)  # validate params early
+    cols = list(value_cols) if value_cols else [value_col]
+    probe = np.zeros((len(cols), 2)) if len(cols) > 1 else [0.0, 1.0]
+    _pelt_kernel(probe, penalty=penalty, cost=cost, min_size=min_size, jump=jump, **cost_params)  # validate params early
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        x = pdf.sort_values(order_col)[value_col].to_numpy(dtype=float)
+        srt = pdf.sort_values(order_col)
+        x = np.vstack([srt[c].to_numpy(dtype=float) for c in cols]) if len(cols) > 1 else srt[cols[0]].to_numpy(dtype=float)
         bps = _pelt_kernel(x, penalty=penalty, cost=cost, min_size=min_size, jump=jump, **cost_params)
         return pd.DataFrame({"conv_id": pdf["conv_id"].iloc[0], "breakpoint_idx": bps})
 
     return (
-        kernel_partitions(df.select("conv_id", order_col, value_col), "conv_id")
+        kernel_partitions(df.select("conv_id", order_col, *cols), "conv_id")
         .groupBy("conv_id")
         .applyInPandas(run, "conv_id string, breakpoint_idx long")
     )

@@ -297,6 +297,54 @@ def pelt_l2_sql(t_sql: str, penalty: float = 10.0, min_size: int = 3, jump: int 
     )
 
 
+def pelt_l2_multi_sql(t_sql: str, penalty: float = 10.0, min_size: int = 3) -> str:
+    """Multivariate (2-dim) L2: per-dimension SSE summed dim-0-first, exactly
+    the kernel's np.sum over the (D, N) prefix matrices
+    (kernels/costs.py:102-107; reference L2CostFunction.cs:105-139 loops
+    dimensions). Dims: z-scored value, z-scored token count (word count of
+    text, sigma==0 -> 0 as in stats.zscore)."""
+    sig = f"""
+zs AS (
+  SELECT conv_id, turn_idx,
+         (value - avg(value) OVER w) / stddev_pop(value) OVER w AS va,
+         CASE WHEN stddev_pop(tc) OVER w = 0 THEN 0.0
+              ELSE (tc - avg(tc) OVER w) / stddev_pop(tc) OVER w END AS vb
+  FROM (
+    SELECT conv_id, turn_idx, value,
+           cast(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS double) AS tc
+    FROM t
+  ) WINDOW w AS (PARTITION BY conv_id)
+),
+sacc AS (
+  SELECT conv_id, turn_idx,
+         sum(va) OVER wacc AS sva, sum(va * va) OVER wacc AS sva2,
+         sum(vb) OVER wacc AS svb, sum(vb * vb) OVER wacc AS svb2
+  FROM zs
+  WINDOW wacc AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+slist AS (
+  SELECT conv_id, count(*) AS n,
+         list(sva ORDER BY turn_idx) AS pa, list(sva2 ORDER BY turn_idx) AS pa2,
+         list(svb ORDER BY turn_idx) AS pb, list(svb2 ORDER BY turn_idx) AS pb2
+  FROM sacc GROUP BY conv_id
+),
+st AS (
+  SELECT conv_id, n,
+         list_prepend(0.0::DOUBLE, pa) AS psa, list_prepend(0.0::DOUBLE, pa2) AS ps2a,
+         list_prepend(0.0::DOUBLE, pb) AS psb, list_prepend(0.0::DOUBLE, pb2) AS ps2b
+  FROM slist WHERE n >= {2 * min_size}
+)
+"""
+    dim = lambda ps, ps2: (
+        f"(({ps2}[t + 1] - {ps2}[sp + 1])"
+        f" - ({ps}[t + 1] - {ps}[sp + 1]) * ({ps}[t + 1] - {ps}[sp + 1]) / (t - sp))"
+    )
+    cost = f"({dim('psa', 'ps2a')} + {dim('psb', 'ps2b')})"
+    return pelt_sql(t_sql, sig, cost, penalty, min_size)
+
+
 def pelt_gaussian_sql(t_sql: str, penalty: float = 10.0, min_size: int = 3) -> str:
     return pelt_sql(
         t_sql,
