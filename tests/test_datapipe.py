@@ -224,3 +224,23 @@ def test_jaccard_plan_has_no_cache_and_expression_sizes(docs):
     expression-only shingle_array (no second explode for sizes)."""
     plan = D.jaccard_pairs(docs, k=3, threshold=0.3)._jdf.queryExecution().toString()
     assert "InMemoryTableScan" not in plan and "InMemoryRelation" not in plan
+
+
+def test_multimodal_decoder_seam(spark):
+    """A real decoder plugs in through the public `decoder=` parameter —
+    no reaching into module privates — and its outputs flow through the
+    Arrow batch contract unchanged."""
+    dim = M.FEATURE_DIM
+
+    def unit_decoder(payload: bytes, kind: str):
+        # nested so cloudpickle ships it by value (the tests package is not
+        # importable on executors)
+        return [float(len(payload)), float(len(kind))] + [0.0] * (dim - 2)
+
+    media = M.synth_media(spark, n=12)
+    out = M.extract_features(media, decoder=unit_decoder)
+    rows = {r["media_id"]: r for r in out.collect()}
+    assert len(rows) == 12
+    for r in rows.values():
+        assert len(r["feature"]) == M.FEATURE_DIM
+        assert r["feature"][0] == float(r["payload_bytes"])

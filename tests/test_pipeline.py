@@ -130,3 +130,80 @@ def test_pipeline_incremental_scans_only_tail(spark, tmp_path):
     ]
     assert row and row[0]["cnt"] == len(d2) + len(tail)
     assert row[0]["max"] == 79_800.0
+
+
+def test_incremental_does_not_leak_overwrite_conf(spark, tmp_path):
+    """Dynamic partition overwrite is a per-write option, never a session
+    conf: after an incremental run the session mode is unchanged, and a later
+    FULL rewrite with a shrunken input fully replaces the tier (no stale
+    partitions surviving a would-be dynamic overwrite)."""
+    import datetime as dt
+
+    before = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    root = str(tmp_path / "tiers")
+    p = RollupPipeline(spark, root)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    d1 = dt.datetime(2025, 4, 1)
+    d2 = dt.datetime(2025, 4, 2)
+    first = [("c", i, "user", "a b", None, d1 + dt.timedelta(minutes=i)) for i in range(5)]
+    second = [("c", 5 + j, "user", "c d", None, d2 + dt.timedelta(minutes=j)) for j in range(5)]
+    p.run(mk(first + second), tiers=("1d",))
+    p.run(mk(first + second + [("c", 10, "user", "e", None, d2 + dt.timedelta(hours=1))]),
+          tiers=("1d",), incremental=True)
+    assert spark.conf.get("spark.sql.sources.partitionOverwriteMode") == before
+
+    # full (non-incremental) rewrite with ONLY day-1 rows: day-2 partition
+    # must disappear — 'full recompute' means full replacement
+    p.run(mk(first), tiers=("1d",))
+    dates = {str(r["p_date"]) for r in p.read_tier("1d").select("p_date").distinct().collect()}
+    assert dates == {"2025-04-01"}
+
+
+def test_convstate_pairs_last_turn_by_window_order(spark, tmp_path):
+    """Out-of-order timestamps inside a conversation: the convstate seed row
+    must be the max-turn_idx row's (turn_idx, ts) pair — the lag() window
+    orders by turn_idx — not independent max(ts)/max(turn_idx). Incremental
+    result equals full recompute."""
+    import datetime as dt
+
+    root = str(tmp_path / "tiers")
+    p = RollupPipeline(spark, root)
+    mk = lambda rows: spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    day1 = dt.datetime(2025, 5, 1, 10, 0)
+    day2 = dt.datetime(2025, 5, 2, 9, 0)
+    # turn 2 (the LAST by turn_idx) has an EARLIER ts than turn 1
+    d1 = [
+        ("c", 0, "user", "a", None, day1),
+        ("c", 1, "user", "b", None, day1 + dt.timedelta(minutes=30)),
+        ("c", 2, "user", "c", None, day1 + dt.timedelta(minutes=20)),
+    ]
+    d2 = [("c", 3, "user", "d", None, day2 + dt.timedelta(minutes=10 * j)) for j in range(1)]
+    p.run(mk(d1 + d2), tiers=("1d",))
+    tail = [("c", 4, "user", "e", None, day2 + dt.timedelta(hours=2))]
+    p.run(mk(d1 + d2 + tail), tiers=("1d",), incremental=True)
+
+    full = RollupPipeline(spark, str(tmp_path / "full"))
+    full.run(mk(d1 + d2 + tail), tiers=("1d",))
+    assert p.content_hash("1d") == full.content_hash("1d")
+
+
+def test_incremental_scan_pushes_ts_filter(spark, tmp_path):
+    """Plan-level: the incremental input's parquet scan carries the pushed
+    `ts >=` predicate (PushedFilters), so history is pruned at the scan."""
+    import datetime as dt
+
+    src_path = str(tmp_path / "src")
+    rows = [("c", i, "user", "a b", None, dt.datetime(2025, 6, 1) + dt.timedelta(hours=i)) for i in range(48)]
+    spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.parquet(src_path)
+    p = RollupPipeline(spark, str(tmp_path / "tiers"))
+    d = p.incremental_metrics(spark.read.parquet(src_path), "2025-06-02")
+    plan = d._jdf.queryExecution().toString()
+    import re
+    assert re.search(r"PushedFilters: \[.*(GreaterThanOrEqual|IsNotNull)\(ts\)", plan), plan
+    assert "GreaterThanOrEqual(ts" in plan, plan

@@ -41,6 +41,21 @@ import struct
 
 import numpy as np
 
+# Format version byte prepended to every blob. v1 (interleaved bitstream) was
+# replaced by the v2 plane layout before any v1 blob was ever persisted, so
+# only v2 decodes; unknown versions raise instead of silently misparsing —
+# the first 12 bytes of v1 and v2 parsed identically, which is exactly the
+# failure mode a cold-tier codec must fail loudly on.
+_FMT_VERSION = 2
+
+
+def _check_version(data) -> memoryview:
+    buf = memoryview(data)
+    if len(buf) == 0 or buf[0] != _FMT_VERSION:
+        got = buf[0] if len(buf) else None
+        raise ValueError(f"unknown gorilla blob format version {got!r} (expected {_FMT_VERSION})")
+    return buf[1:]
+
 _U64_1 = np.uint64(1)
 _U64_6 = np.uint64(6)
 _U64_63 = np.uint64(63)
@@ -96,9 +111,9 @@ def encode_floats(values) -> bytes:
     v = np.ascontiguousarray(np.asarray(values, dtype=np.float64))
     bits = v.view(np.uint64)
     n = len(v)
-    out = [struct.pack(">I", n)]
+    out = [bytes([_FMT_VERSION]), struct.pack(">I", n)]
     if n == 0:
-        return out[0]
+        return b"".join(out)
     out.append(struct.pack(">Q", int(bits[0])))
     if n == 1:
         return b"".join(out)
@@ -120,6 +135,7 @@ def encode_floats(values) -> bytes:
 
 
 def decode_floats(data: bytes) -> np.ndarray:
+    data = _check_version(data)
     n = struct.unpack(">I", data[:4])[0]
     out = np.empty(n, dtype=np.uint64)
     if n == 0:
@@ -157,9 +173,9 @@ def encode_timestamps(ts_us) -> bytes:
     t = np.ascontiguousarray(np.asarray(ts_us, dtype=np.int64))
     u = t.view(np.uint64)
     n = len(t)
-    out = [struct.pack(">I", n)]
+    out = [bytes([_FMT_VERSION]), struct.pack(">I", n)]
     if n == 0:
-        return out[0]
+        return b"".join(out)
     out.append(struct.pack(">Q", int(u[0])))
     if n == 1:
         return b"".join(out)
@@ -188,6 +204,7 @@ def encode_timestamps(ts_us) -> bytes:
 
 
 def decode_timestamps(data: bytes) -> np.ndarray:
+    data = _check_version(data)
     n = struct.unpack(">I", data[:4])[0]
     out = np.empty(n, dtype=np.uint64)
     if n == 0:

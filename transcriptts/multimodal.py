@@ -60,29 +60,40 @@ def _fake_features(payload: bytes, dim: int = FEATURE_DIM):
     return (raw.astype(np.float64) / np.iinfo(np.uint32).max).astype(np.float32)
 
 
-def extract_features(df: DataFrame, decode_stub: str = "fake") -> DataFrame:
+def extract_features(df: DataFrame, decode_stub: str | None = "fake", decoder=None) -> DataFrame:
     """(media_id, kind, feature array<float>, payload_bytes) via mapInPandas.
 
-    Replace `_fake_features` with a real decoder to productionize; the
-    Spark-side contract (schema, Arrow batching) is unchanged."""
+    `decoder` is the PUBLIC seam for a real feature extractor: any callable
+    `(payload: bytes, kind: str) -> sequence of FEATURE_DIM floats` (it must
+    be picklable — module-level function or functools.partial — since it
+    ships to executors). When omitted, `decode_stub` selects the sandbox
+    behavior: 'fake' (deterministic sha-derived features, keeps the full
+    pipeline runnable) or 'raise' (NotImplementedError at first batch,
+    marking where PIL/librosa/pyav plugs in). The Spark-side contract
+    (schema, Arrow batching, partitioning) is identical on every path."""
     import pandas as pd
 
-    if decode_stub not in ("fake", "raise"):
-        raise ValueError("decode_stub must be 'fake' or 'raise'")
+    if decoder is None and decode_stub not in ("fake", "raise"):
+        raise ValueError("decode_stub must be 'fake' or 'raise' (or pass decoder=...)")
 
     def run(batches):
         for pdf in batches:
-            if decode_stub == "raise":
+            if decoder is not None:
+                feats = [
+                    list(map(float, decoder(bytes(p), k)))
+                    for p, k in zip(pdf["payload"], pdf["kind"])
+                ]
+            elif decode_stub == "raise":
                 raise NotImplementedError(
                     "real media decode requires PIL/librosa/pyav — not available in this environment"
                 )
+            else:
+                feats = [_fake_features(bytes(p)).tolist() for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "kind": pdf["kind"],
-                    "feature": [
-                        _fake_features(bytes(p)).tolist() for p in pdf["payload"]
-                    ],
+                    "feature": feats,
                     "payload_bytes": [len(bytes(p)) for p in pdf["payload"]],
                 }
             )

@@ -87,14 +87,27 @@ class RollupPipeline:
     def _update_convstate(self, turns: DataFrame, incremental_dates: bool) -> None:
         """Upsert (conv_id, p_date) -> last turn of that date. `turns` is the
         (possibly already cutoff-filtered) batch, so an incremental run only
-        rewrites the date partitions it touches."""
+        rewrites the date partitions it touches.
+
+        The last turn is the single row maximal by (turn_idx, ts) — turn_idx
+        FIRST, matching the latency lag() window's ORDER BY turn_idx — so the
+        seed row always pairs a turn's true (turn_idx, ts) even when
+        timestamps arrive out of order within a conversation."""
         st = (
             turns.groupBy("conv_id", F.to_date("ts").alias("p_date"))
-            .agg(F.max("ts").alias("last_ts"), F.max("turn_idx").alias("last_turn_idx"))
+            .agg(F.max(F.struct("turn_idx", "ts")).alias("s"))
+            .select(
+                "conv_id", "p_date",
+                F.col("s.ts").alias("last_ts"),
+                F.col("s.turn_idx").alias("last_turn_idx"),
+            )
         )
         writer = st.repartition("p_date").write.partitionBy("p_date")
         if incremental_dates and os.path.exists(self._convstate_path):
-            self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            # per-write option, NOT spark.conf.set: a session-wide conf leak
+            # would silently turn later FULL rewrites (and unrelated user
+            # writes) into dynamic overwrites that keep stale partitions
+            writer = writer.option("partitionOverwriteMode", "dynamic")
         writer.mode("overwrite").parquet(self._convstate_path)
 
     def _seed_rows(self, cutoff) -> DataFrame | None:
@@ -109,7 +122,7 @@ class RollupPipeline:
         )
         return (
             st.groupBy("conv_id")
-            .agg(F.max(F.struct("last_ts", "last_turn_idx")).alias("s"))
+            .agg(F.max(F.struct("last_turn_idx", "last_ts")).alias("s"))
             .select(
                 "conv_id",
                 F.col("s.last_turn_idx").alias("turn_idx"),
@@ -123,6 +136,20 @@ class RollupPipeline:
     # --- run ------------------------------------------------------------------
 
     _COLS = ("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+    def incremental_metrics(self, transcripts: DataFrame, watermark: str) -> DataFrame:
+        """The incremental tier input: RAW input filtered at the watermark
+        DATE before deriving and rolling up — a plain `ts >=` predicate the
+        parquet scan prunes on (asserted at plan level in
+        tests/test_pipeline.py), since dynamic overwrite swaps whole p_date
+        partitions and the cutoff aligns to date granularity. The lag()
+        window gets its cross-cutoff context from one seed row per
+        conversation (convstate), dropped again before aggregation."""
+        cutoff_ts = F.to_timestamp(F.to_date(F.lit(watermark)))
+        src = transcripts.select(*self._COLS).where(F.col("ts") >= cutoff_ts)
+        seeds = self._seed_rows(watermark)
+        batch = src if seeds is None else src.unionByName(seeds)
+        return with_derived_metrics(batch).where(F.col("ts") >= cutoff_ts)
 
     def run(
         self,
@@ -161,17 +188,7 @@ class RollupPipeline:
 
             prev_watermark = entry.get("watermark") if (entry and incremental) else None
             if prev_watermark is not None:
-                # Filter the RAW input at the watermark DATE before deriving
-                # and rolling up: a plain `ts >=` predicate the scan prunes
-                # on (dynamic overwrite swaps whole p_date partitions, so the
-                # cutoff aligns to date granularity). The lag() window gets
-                # its cross-cutoff context from one seed row per conversation
-                # (convstate), which is dropped again before aggregation.
-                cutoff_ts = F.to_timestamp(F.to_date(F.lit(prev_watermark)))
-                src = transcripts.select(*self._COLS).where(F.col("ts") >= cutoff_ts)
-                seeds = self._seed_rows(prev_watermark)
-                batch = src if seeds is None else src.unionByName(seeds)
-                d = with_derived_metrics(batch).where(F.col("ts") >= cutoff_ts)
+                d = self.incremental_metrics(transcripts, prev_watermark)
                 if min_cutoff is None or prev_watermark < min_cutoff:
                     min_cutoff = prev_watermark
             else:
@@ -189,10 +206,11 @@ class RollupPipeline:
             path = os.path.join(self.root, f"tier={tier}")
             writer = out.write.partitionBy("p_date")
             if prev_watermark is not None and os.path.exists(path):
-                self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-                writer.mode("overwrite").parquet(path)
-            else:
-                writer.mode("overwrite").parquet(path)
+                # incremental: swap only the p_date partitions present in the
+                # batch. Per-write option (see _update_convstate) so full
+                # rewrites in the same session stay full replacements.
+                writer = writer.option("partitionOverwriteMode", "dynamic")
+            writer.mode("overwrite").parquet(path)
             wall = time.time() - t0
 
             written = self.spark.read.parquet(path)

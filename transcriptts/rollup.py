@@ -188,9 +188,11 @@ def rollup_salted(df: DataFrame, tier: str = "1m", salt_buckets: int = 8) -> Dat
     )
 
     # sum/mean via the sorted-multiset fold (see _finalize_partials): the
-    # per-salt partial-sum re-addition order depends on the shuffle, so a
-    # deterministic fold keeps the salted path bit-identical to the
-    # unsalted and hierarchical paths.
+    # per-salt partial-sum re-addition order depends on the shuffle, so the
+    # deterministic fold makes the salted and hierarchical paths mutually
+    # bit-identical (and oracle-reproducible). The direct rollup() still
+    # sums via F.sum, whose partial-aggregation order is shuffle-dependent —
+    # agreement with IT holds only to ulp (its oracle rounds to 6 dp).
     ssum = F.aggregate(F.col("vals"), F.lit(0.0), lambda acc, x: acc + x)
     return merged.select(
         "conv_id",
