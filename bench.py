@@ -10,10 +10,13 @@ Env knobs:
   SPARK_GRAFT_CPUS    cores for local[N] (default: all)
   BENCH_TURNS         synthetic transcript turns for the tier pipeline
                       (default 2_000_000)
-  BENCH_PASSES        timed passes per query, min reported (default 2 —
+  BENCH_PASSES        timed passes per query, min reported (default 3 —
                       the host's noisy neighbors inflate single-shot
-                      timings up to 10x; min of 2 back-to-back passes
-                      approximates quiet-host time)
+                      timings up to 10x and bursts can span a whole
+                      2-pass window; min of 3 back-to-back passes
+                      approximates quiet-host time. Measured spread on
+                      the tier pipeline: 11.8s vs 57.0s for IDENTICAL
+                      passes minutes apart.)
 
 The tier pipeline is the north-rule headline: synth transcripts are written
 to parquet once (untimed), then all three retention tiers are computed and
@@ -64,24 +67,31 @@ def main() -> None:
     tdf = spark.read.parquet(synth_path)
     n_turns = tdf.count()
 
-    passes = max(1, int(os.environ.get("BENCH_PASSES", 2)))
+    passes = max(1, int(os.environ.get("BENCH_PASSES", 3)))
 
     from transcriptts.rollup import rollup_tiers
 
     tdf = tdf.cache()
     tdf.count()  # materialize the cache untimed
+    # tier_total = min over passes of the full 3-tier wall (the throughput
+    # protocol, comparable across rounds); per-tier entries are the min per
+    # tier across passes (a noise burst inside the best-total pass would
+    # otherwise be reported as that tier's cost).
     tier_total = None
+    per_tier_min: dict[str, float] = {}
     for _ in range(passes):
         t0 = time.time()
-        per_tier = {}
         for name, df in rollup_tiers(tdf).items():
             t1 = time.time()
             materialize(df)
-            per_tier[f"tier_{name}"] = round(time.time() - t1, 3)
+            w = round(time.time() - t1, 3)
+            key = f"tier_{name}"
+            if key not in per_tier_min or w < per_tier_min[key]:
+                per_tier_min[key] = w
         wall = time.time() - t0
         if tier_total is None or wall < tier_total:
             tier_total = wall
-            timings.update(per_tier)
+    timings.update(per_tier_min)
     tdf.unpersist()
     turns_per_sec = n_turns * 3 / tier_total  # turns rolled into 3 tiers
 
