@@ -814,6 +814,23 @@ FROM documents GROUP BY 1
 """
 
 
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document content fingerprint (datapipe.with_fingerprint): md5 mode
+    so the DuckDB oracle reproduces the digest character-for-character;
+    production default is xxhash64 (JVM-side 64-bit)."""
+    from transcriptts.datapipe import with_fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_fingerprint(docs, hash_mode="md5").select("doc_id", "fingerprint")
+
+
+_SQL_DOC_FINGERPRINT = """
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(coalesce(text, '')), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
 def _q_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptts.datapipe import jaccard_pairs
 
@@ -1190,6 +1207,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pelt_rbf": _q_pelt_cost("rbf", 2.0),
         "pelt_gaussian": _q_pelt_cost("gaussian", 10.0),
         "pelt_ar1": _q_pelt_cost("ar", 10.0, order=1),
+        "pelt_ar2": _q_pelt_cost("ar", 10.0, order=2),
         "pelt_poisson": _q_pelt_poisson,
         "pelt_bernoulli": _q_pelt_bernoulli,
         "pelt_binomial": _q_pelt_binomial,
@@ -1208,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
         "dedup_exact": _q_dedup_exact,
+        "doc_fingerprint": _q_doc_fingerprint,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_dedup": _q_minhash_dedup,
         "cosine_topk": _q_cosine_topk,
@@ -1254,6 +1273,8 @@ def oracle_sql() -> dict[str, str]:
         "pelt_rbf": _oracles.pelt_rbf_sql(_T_SQL, 2.0, 3),
         "pelt_gaussian": _oracles.pelt_gaussian_sql(_T_SQL, 10.0, 3),
         "pelt_ar1": _oracles.pelt_ar1_sql(_T_SQL, 10.0, 3),
+        # min_size 5 = the kernel's eff_min for AR(2)-with-intercept
+        "pelt_ar2": _oracles.pelt_ar2_sql(_T_SQL, 10.0, 5),
         "pelt_poisson": _oracles.pelt_poisson_sql(_T_SQL, 20.0, 3),
         "pelt_bernoulli": _oracles.pelt_bernoulli_sql(_T_SQL, 2.0, 3),
         "pelt_binomial": _oracles.pelt_binomial_sql(_T_SQL, 1.0, 3),
@@ -1265,6 +1286,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_score": _SQL_QUALITY,
         "lang_id": _SQL_LANG_ID,
         "dedup_exact": _SQL_DEDUP_EXACT,
+        "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "minhash_lsh_dedup": _sql_minhash(),
         "cosine_topk": _SQL_COSINE_TOPK,

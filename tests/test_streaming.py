@@ -67,6 +67,50 @@ def test_streaming_resumes_from_checkpoint(spark, tmp_path):
     assert len(rows) == 1 and rows[0]["cnt"] == 1  # only the newly closed window
 
 
+def test_streaming_cusum_state_across_restarts(spark, tmp_path):
+    """applyInPandasWithState CUSUM == batch kernel on the concatenated
+    stream: the alarm at i=3 accumulates 2 samples in batch 1 and fires on
+    batch 2's first sample (state straddles the boundary AND a query
+    restart, restored from the checkpoint's state store); keyed state stays
+    per-conversation (conv 'd' never alarms)."""
+    from transcriptts.kernels.cusum import cusum
+    from transcriptts.streaming import streaming_cusum
+
+    inp, ck, outp = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    vals1 = [0.0, 1.2, 1.2]
+    vals2 = [1.2, -9.0, 0.0]
+    expected = cusum(vals1 + vals2, threshold_factor=3.0)
+    assert expected == [3, 4]  # fixture sanity: one straddling + one immediate alarm
+
+    def write(vals, start):
+        spark.createDataFrame(
+            [("c", start + i, float(v)) for i, v in enumerate(vals)]
+            + [("d", start + i, 0.1) for i in range(len(vals))],
+            "conv_id string, turn_idx long, value double",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    def run_once():
+        stream = spark.readStream.schema("conv_id string, turn_idx long, value double").parquet(inp)
+        q = (
+            streaming_cusum(stream, "value", threshold_factor=3.0)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write(vals1, 0)
+    run_once()
+    write(vals2, 3)
+    run_once()
+    rows = spark.read.parquet(outp).collect()
+    got = sorted((r["conv_id"], r["alarm_idx"], r["turn_idx"]) for r in rows)
+    assert got == [("c", i, i) for i in expected]
+
+
 def test_foreach_batch_bridge_runs_full_batch_rollup(spark, tmp_path):
     inp, outp, ck = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ck")
     rows = [("c", i, "user", "w " * (i + 1), None, BASE + dt.timedelta(seconds=10 * i)) for i in range(12)]

@@ -114,11 +114,17 @@ def with_lang_id(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return docs.withColumn("lang_pred", pred)
 
 
-def with_fingerprint(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """64-bit document fingerprint: xxhash64 of the whitespace-normalized,
-    lowercased text (content-defined identity for exact/near-exact dedup)."""
+def with_fingerprint(docs: DataFrame, text_col: str = "text", hash_mode: str = "xxhash64") -> DataFrame:
+    """Document fingerprint of the whitespace-normalized, lowercased text
+    (content-defined identity for exact/near-exact dedup). 'xxhash64' (the
+    production mode) emits a 64-bit bigint JVM-side; 'md5' emits the hex
+    digest — an engine-portable fingerprint family the DuckDB oracle
+    reproduces character-for-character (same split as simhash64)."""
+    if hash_mode not in ("xxhash64", "md5"):
+        raise ValueError("hash_mode must be 'xxhash64' or 'md5'")
     norm = F.lower(F.regexp_replace(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+", " "))
-    return docs.withColumn("fingerprint", F.xxhash64(norm))
+    fp = F.xxhash64(norm) if hash_mode == "xxhash64" else F.md5(norm)
+    return docs.withColumn("fingerprint", fp)
 
 
 # --- dedup ---------------------------------------------------------------------

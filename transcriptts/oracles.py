@@ -510,6 +510,113 @@ costt AS (SELECT conv_id, t, list(c ORDER BY sp) AS row_costs FROM pairs GROUP B
     return pelt_sql(t_sql, sig, "", penalty, min_size, pairs_cte=pairs)
 
 
+def pelt_ar2_sql(t_sql: str, penalty: float = 10.0, min_size: int = 5) -> str:
+    """ARCost order=2 closed form (kernels/costs.py:602-658): centered
+    (covariance-form) 2x2 Cramer solve from nine prefix moments — raw-moment
+    3x3 Cramer cancels catastrophically when segment means dominate, so both
+    the kernel and this twin center first. The relative singularity guard
+    (|det| <= 1e-12 * max(C11*C22, 1e-300) -> +inf) and the constant-segment
+    guard map exactly; min_size must be >= the AR(2)-with-intercept
+    min_segment_length of 5 (max(p+1, 2p+1)), matching the kernel's
+    eff_min = max(min_size, cost.min_segment_length()).
+
+    Index maps (1-indexed SQL lists; sp = segment start, t = segment end in
+    kernel DP space): ps/ps2 carry a prepended 0 (ps[k] = kernel ps[k-1]);
+    pzy[i] = sum of the first i-1 lag-1 products (pzy[1] = 0); pz2y[i] = sum
+    of the first i-2 lag-2 products (pz2y[1] = pz2y[2] = 0). Then
+      Sy  = ps[t+1]-ps[sp+3]    S1  = ps[t]-ps[sp+2]    S2  = ps[t-1]-ps[sp+1]
+      S1y = pzy[t]-pzy[sp+2]    S12 = pzy[t-1]-pzy[sp+1] S2y = pz2y[t]-pz2y[sp+2]
+    DuckDB returns NULL for double/0, so the CASE gates on det = 0 BEFORE the
+    Cramer divisions (the kernel divides by raw det and discards via the bad
+    mask — identical outcome, since the guard only rewrites det when it zeroes
+    it)."""
+    if min_size < 5:
+        raise ValueError("AR(2)-with-intercept needs min_size >= 5")
+    sig = (
+        ZSCORE_CTE
+        + f""",
+lagp AS (
+  SELECT conv_id, turn_idx, v,
+         lag(v) OVER wlag * v AS zy,
+         lag(v, 2) OVER wlag * v AS z2y
+  FROM zs
+  WINDOW wlag AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+sacc AS (
+  SELECT conv_id, turn_idx, v,
+         sum(v) OVER wacc AS sv, sum(v * v) OVER wacc AS sv2,
+         sum(coalesce(zy, 0.0)) OVER wacc AS szy,
+         sum(coalesce(z2y, 0.0)) OVER wacc AS sz2y
+  FROM lagp
+  WINDOW wacc AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+slist AS (
+  SELECT conv_id, list(v ORDER BY turn_idx) AS vs,
+         list(sv ORDER BY turn_idx) AS pst, list(sv2 ORDER BY turn_idx) AS pst2,
+         list(szy ORDER BY turn_idx) AS pzyt, list(sz2y ORDER BY turn_idx) AS pz2yt
+  FROM sacc GROUP BY conv_id
+),
+st AS (
+  SELECT conv_id, len(vs) AS n, vs,
+         list_prepend(0.0::DOUBLE, pst) AS ps,
+         list_prepend(0.0::DOUBLE, pst2) AS ps2,
+         pzyt AS pzy, pz2yt AS pz2y
+  FROM slist WHERE len(vs) >= {2 * min_size}
+)
+"""
+    )
+    pairs = f"""
+mom AS (
+  SELECT conv_id, t, sp, (t - sp - 2)::DOUBLE AS n_eq,
+         (ps[t + 1] - ps[sp + 3]) AS sy, (ps[t] - ps[sp + 2]) AS s1,
+         (ps[t - 1] - ps[sp + 1]) AS s2,
+         (ps2[t + 1] - ps2[sp + 3]) AS sy2, (ps2[t] - ps2[sp + 2]) AS s11,
+         (ps2[t - 1] - ps2[sp + 1]) AS s22,
+         (pzy[t] - pzy[sp + 2]) AS s1y, (pzy[t - 1] - pzy[sp + 1]) AS s12,
+         (pz2y[t] - pz2y[sp + 2]) AS s2y,
+         vs[sp + 1] AS seg0,
+         list_aggregate(vs[sp + 1 : t], 'max')::DOUBLE AS segmax,
+         list_aggregate(vs[sp + 1 : t], 'min')::DOUBLE AS segmin
+  FROM st,
+       unnest(generate_series({min_size}, n)) AS ut(t),
+       unnest(generate_series(0, t - {min_size})) AS us(sp)
+),
+ctr AS (
+  SELECT conv_id, t, sp, seg0, segmax, segmin,
+         (s11 - s1 * s1 / n_eq) AS c11, (s22 - s2 * s2 / n_eq) AS c22,
+         (s12 - s1 * s2 / n_eq) AS c12,
+         (s1y - s1 * sy / n_eq) AS c1y, (s2y - s2 * sy / n_eq) AS c2y,
+         (sy2 - sy * sy / n_eq) AS cyy
+  FROM mom
+),
+sol AS (
+  SELECT conv_id, t, sp, seg0, segmax, segmin, c11, c22, c12, c1y, c2y, cyy,
+         CASE WHEN abs(c11 * c22 - c12 * c12)
+                   <= 1e-12 * greatest(c11 * c22, 1e-300)
+              THEN 0.0 ELSE (c11 * c22 - c12 * c12) END AS det
+  FROM ctr
+),
+pairs AS (
+  SELECT conv_id, t, sp,
+         CASE WHEN (abs(segmax - seg0) <= 1e-9 AND abs(seg0 - segmin) <= 1e-9)
+                   OR det = 0.0
+              THEN 'infinity'::DOUBLE
+              WHEN NOT coalesce(isfinite(
+                     cyy - ((c1y * c22 - c2y * c12) / det) * c1y
+                         - ((c2y * c11 - c1y * c12) / det) * c2y), FALSE)
+              THEN 'infinity'::DOUBLE
+              ELSE greatest(
+                     cyy - ((c1y * c22 - c2y * c12) / det) * c1y
+                         - ((c2y * c11 - c1y * c12) / det) * c2y, 0.0)
+         END AS c
+  FROM sol
+),
+costt AS (SELECT conv_id, t, list(c ORDER BY sp) AS row_costs FROM pairs GROUP BY conv_id, t)
+"""
+    return pelt_sql(t_sql, sig, "", penalty, min_size, pairs_cte=pairs)
+
+
 def pelt_rbf_sql(t_sql: str, penalty: float = 2.0, min_size: int = 3) -> str:
     """RBFCost (kernels/costs.py:141-185): gamma = 1/median(strict upper-
     triangle squared distances), K = exp(-clip(d*gamma, 1e-2, 1e2)) with

@@ -13,10 +13,12 @@ Notes:
   exact percentiles stay a batch/cold-tier concern (rollup.py), which is
   also how production TSDBs split this;
 - latency (ts - previous turn ts) needs per-conversation ordering, which a
-  streaming window agg cannot see → computed with
-  ``applyInPandasWithState``-free design: we derive latency only within the
-  micro-batch via foreachBatch in `stream_rollup_foreach_batch`, or skip it
-  in the pure-aggregation path (token_count only);
+  streaming window agg cannot see → derived only within the micro-batch via
+  foreachBatch in `stream_rollup_foreach_batch`, or skipped in the
+  pure-aggregation path (token_count only);
+- sequential detector kernels stream via ``applyInPandasWithState``
+  (`streaming_cusum`): per-conversation state across micro-batches, exact
+  batch-kernel parity on the concatenated stream;
 - `trigger(availableNow=True)` + file source makes the pipeline testable
   hermetically and restart-resumable from the checkpoint dir.
 """
@@ -81,6 +83,99 @@ def run_stream_to_memory(
     )
     q.awaitTermination()
     return q
+
+
+def streaming_cusum(
+    stream: DataFrame,
+    value_col: str = "token_count",
+    expected_mean: float = 0.0,
+    expected_std_dev: float = 1.0,
+    slack_factor: float = 0.0,
+    threshold_factor: float = 5.0,
+) -> DataFrame:
+    """Custom STATEFUL operator: per-conversation two-sided CUSUM alarms over
+    a transcript stream via ``applyInPandasWithState``.
+
+    The batch kernel (kernels/cusum.py, CUSUMAlgorithm.cs:60-85) is a
+    sequential fold — windowed aggregation cannot express it — so each
+    conversation carries (high, low, n_seen) detector state across
+    micro-batches. Feeding the same turns through any micro-batch split
+    yields exactly ``cusum(concatenated_signal)``: alarm indices are global
+    sample positions, the i=0 sample only primes the state (the kernel's
+    scan starts at i=1), and an accumulation that STRADDLES a batch boundary
+    still alarms (asserted in tests/test_streaming.py).
+
+    Ordering contract: rows are processed in turn_idx order inside each
+    micro-batch; a row arriving after a later turn_idx has been consumed
+    (turn_idx < n_seen) is late by definition and is dropped — the
+    watermark-analogue for detector state, mirroring streaming_rollup_1m's
+    late-data posture. The batch detector remains the corrector of record.
+
+    Scale shape: state is 3 scalars per conversation (no sample buffering),
+    grouped by conv_id — the same parallelism unit as every batch kernel.
+    """
+    if expected_std_dev <= 0:
+        raise ValueError("expected_std_dev must be positive")
+    if threshold_factor <= 0:
+        raise ValueError("threshold_factor must be positive")
+    if slack_factor < 0:
+        raise ValueError("slack_factor must be non-negative")
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("alarm_idx", LongType()),
+            StructField("turn_idx", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("high", DoubleType()),
+            StructField("low", DoubleType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    threshold = threshold_factor * expected_std_dev
+    slack = slack_factor * expected_std_dev
+
+    def fn(key, pdf_iter, state: GroupState):
+        import pandas as pd
+
+        high, low, n_seen = state.get if state.exists else (0.0, 0.0, 0)
+        alarms: list[tuple[int, int]] = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("turn_idx")
+            for tidx, v in zip(pdf["turn_idx"].to_numpy(), pdf[value_col].to_numpy()):
+                if tidx < n_seen:
+                    continue  # late arrival: detector state has moved past it
+                i = n_seen
+                n_seen += 1
+                if i == 0:
+                    continue  # kernel scan starts at i=1
+                high = max(0.0, high + float(v) - expected_mean - slack)
+                low = min(0.0, low + float(v) - expected_mean + slack)
+                if high > threshold or low < -threshold:
+                    alarms.append((i, int(tidx)))
+                    high = 0.0
+                    low = 0.0
+        state.update((high, low, n_seen))
+        yield pd.DataFrame(
+            [(key[0], a, t) for a, t in alarms],
+            columns=["conv_id", "alarm_idx", "turn_idx"],
+        )
+
+    return stream.groupBy("conv_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
 
 
 def stream_rollup_foreach_batch(
