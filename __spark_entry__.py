@@ -292,6 +292,45 @@ WHERE n >= 2
 """
 
 
+def _q_sma_periodic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SMA with periodic padding — the reference's asymmetric quirk: the LEFT
+    pad wraps (x[n-half..]) but the RIGHT pad is the REVERSED first
+    half-window (SignalPadding.cs:131 ext[len-1-i] = signal[i], i.e. [x1, x0]
+    for half=2 — NOT the wrap [x0, x1]); kernels/smoothing.apply_padding."""
+    from transcriptts.smooth import smooth
+
+    return _round6(smooth(_signal(spark, sf_dir), "sma", window_size=5, padding="periodic"), "value")
+
+
+# periodic padding for w=5 (half=2): out[i] = mean over m = i-2..i+2 of
+#   x[n+m]     if m < 0   (left wrap)
+#   x[n+1-m]   if m >= n  (reversed first half-window quirk, NOT wrap)
+#   x[m]       otherwise
+# — apply_padding's concatenate([x[n-half:], x, x[:half][::-1]]) written as
+# direct list indexing (1-indexed below). n < half raises in the kernel →
+# zero rows, mirrored by the n >= 2 filter.
+def _sma_periodic_term(d: int) -> str:
+    m = f"(i + {d})" if d >= 0 else f"(i - {-d})"
+    return (
+        f"(CASE WHEN {m} < 0 THEN vs[n + {m} + 1]"
+        f" WHEN {m} >= n THEN vs[n + 2 - {m}]"
+        f" ELSE vs[{m} + 1] END)"
+    )
+
+
+_SQL_SMA_PERIODIC = f"""
+WITH {_T_SQL},
+s AS (
+  SELECT conv_id, list(value ORDER BY turn_idx) AS vs, count(*)::BIGINT AS n
+  FROM t GROUP BY conv_id
+)
+SELECT conv_id, cast(i AS bigint) AS pos,
+       {_r6('(' + ' + '.join(_sma_periodic_term(d) for d in range(-2, 3)) + ') / 5.0', 'value')}
+FROM s, unnest(generate_series(0, n - 1)) AS u(i)
+WHERE n >= 2
+"""
+
+
 def _q_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptts.smooth import smooth
 
@@ -1197,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gapfill_locf_interp_1h": _q_gapfill,
         "sma_w5": _q_sma,
         "sma_w5_mirror": _q_sma_mirror,
+        "sma_w5_periodic": _q_sma_periodic,
         "wma_w3": _q_wma,
         "ema_a05": _q_ema,
         "savgol_w5_p2": _q_savgol,
@@ -1252,6 +1292,7 @@ def oracle_sql() -> dict[str, str]:
         "gapfill_locf_interp_1h": _SQL_GAPFILL,
         "sma_w5": _SQL_SMA,
         "sma_w5_mirror": _SQL_SMA_MIRROR,
+        "sma_w5_periodic": _SQL_SMA_PERIODIC,
         "wma_w3": _SQL_WMA,
         "ema_a05": _SQL_EMA,
         "savgol_w5_p2": _sql_savgol_w5_p2(),
