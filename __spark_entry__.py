@@ -418,7 +418,7 @@ FROM u
 """
 
 
-# --- changepoints (SURVEY §2.3/§2.4) — not SQL-expressible → rows-only -------
+# --- changepoints (SURVEY §2.3/§2.4) — DP-fold oracles in transcriptts/oracles.py
 
 
 def _standardized_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -530,9 +530,10 @@ def _q_penalty_selection_aicc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_pelt_cost(cost: str, penalty: float, **cost_params):
     """PELT over the per-conv z-scored signal with a specific cost model —
-    puts every cost function under the driver's eye (rows-only; the DP is
-    not SQL-expressible). Matches SignalSharp.Tests/CostFunctions/*.cs
-    semantics via the kernels' golden tests."""
+    puts every cost function under the driver's eye, hash-verified against
+    the DuckDB DP-fold oracles (transcriptts/oracles.py). Matches
+    SignalSharp.Tests/CostFunctions/*.cs semantics via the kernels' golden
+    tests."""
 
     def q(spark: SparkSession, sf_dir: str) -> DataFrame:
         from transcriptts.detect import detect_changepoints
@@ -1336,9 +1337,6 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": _sql_embedding_dedup(n_planes=6, seed=7, threshold=0.35),
         "series_stats": _SQL_SERIES_STATS,
         "normalize_zscore": _SQL_NORMALIZE,
-        # savgol_w5_p2: edge polynomial re-fit + middle restore is not
-        # SQL-expressible → rows-only check; golden parity covered in
-        # tests/test_kernels_smoothing.py::test_savgol_golden_middle_restore
         # media_features / media_frame_plan: binary payloads + sha-derived
-        # stub features — rows-only by design
+        # stub features — rows-only by design (the only unoracled queries)
     }
