@@ -1065,6 +1065,60 @@ SELECT qid, cid, {_r6('cos', 'cos')}, cast(rank AS int) AS rank FROM ranked WHER
 """
 
 
+def _q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: deterministic md5-sampled codebook (rebuilt identically
+    by the oracle's ORDER BY md5(...) LIMIT k), nearest-cell assignment on
+    6-dp-rounded squared L2, nprobe-cell candidate join, exact cosine
+    re-rank. Queries = every 5th vector, like cosine_topk."""
+    from transcriptts.datapipe import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 5 == 0)
+    out = ann_ivf_topk(emb, queries=qs, k_cells=16, nprobe=4, topk=5)
+    return _round6(out.select("qid", "cid", "cos", "rank"), "cos")
+
+
+_SQL_ANN_IVF = f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cb AS (
+  SELECT vec_id AS cb_id, v AS cv
+  FROM e ORDER BY md5(cast(vec_id AS varchar)), vec_id LIMIT 16
+),
+ad AS (
+  SELECT e.vec_id, e.v, cb.cb_id,
+         round(list_dot_product(e.v, e.v) + list_dot_product(cb.cv, cb.cv)
+               - 2 * list_dot_product(e.v, cb.cv), 6) AS d
+  FROM e CROSS JOIN cb
+),
+assign AS (
+  SELECT vec_id AS cid, v AS cvec, cb_id AS cell FROM (
+    SELECT vec_id, v, cb_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cb_id) AS rn
+    FROM ad
+  ) WHERE rn = 1
+),
+probe AS (
+  SELECT vec_id AS qid, v AS qvec, cb_id AS cell FROM (
+    SELECT vec_id, v, cb_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d, cb_id) AS rn
+    FROM ad WHERE vec_id % 5 = 0
+  ) WHERE rn <= 4
+),
+sims AS (
+  SELECT qid, cid,
+         list_dot_product(qvec, cvec) /
+         (sqrt(list_dot_product(qvec, qvec)) * sqrt(list_dot_product(cvec, cvec))) AS cos
+  FROM probe JOIN assign USING (cell) WHERE qid != cid
+),
+ranked AS (
+  SELECT qid, cid, cos,
+         row_number() OVER (PARTITION BY qid ORDER BY cos DESC, cid ASC) AS rank
+  FROM sims
+)
+SELECT qid, cid, {_r6('cos', 'cos')}, cast(rank AS int) AS rank FROM ranked WHERE rank <= 5
+"""
+
+
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptts.datapipe import embedding_dedup
 
@@ -1273,6 +1327,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": _q_cosine_topk,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "embedding_dedup": _q_embedding_dedup,
         "media_features": _q_media_features,
         "media_frame_plan": _q_media_frame_plan,
@@ -1334,6 +1389,7 @@ def oracle_sql() -> dict[str, str]:
         "cosine_topk": _SQL_COSINE_TOPK,
         "simhash_pairs": _sql_simhash(max_hamming=8),
         "ann_lsh_topk": _sql_ann_lsh(n_planes=8, seed=42, topk=5),
+        "ann_ivf_topk": _SQL_ANN_IVF,
         "embedding_dedup": _sql_embedding_dedup(n_planes=6, seed=7, threshold=0.35),
         "series_stats": _SQL_SERIES_STATS,
         "normalize_zscore": _SQL_NORMALIZE,

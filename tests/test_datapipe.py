@@ -218,6 +218,36 @@ def test_ann_recall_floor(spark):
     assert single < amplified
 
 
+def test_ann_ivf_recall_and_determinism(spark):
+    """IVF-Flat: planted near-dups (cos ~0.98) land in the same cell at high
+    rate, so nprobe=4/16 recall clears 0.9; the md5-sampled codebook is
+    deterministic across calls; assignments cover every vector exactly once."""
+    from collections import defaultdict
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((300, 64))
+    planted = base[:100] + rng.standard_normal((100, 64)) * 0.18
+    rows = [(i, base[i].tolist()) for i in range(300)] + [
+        (1000 + i, planted[i].tolist()) for i in range(100)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    cb1 = D.ivf_codebook(emb, k_cells=16)
+    cb2 = D.ivf_codebook(emb, k_cells=16)
+    assert cb1 == cb2 and len(cb1) == 16
+
+    df = D.ann_ivf_topk(emb, k_cells=16, nprobe=4, topk=5, codebook=cb1)
+    A = defaultdict(set)
+    for r in df.select("qid", "cid").collect():
+        A[r["qid"]].add(r["cid"])
+    recall = sum(1 for i in range(100) if (1000 + i) in A[i] or i in A[1000 + i]) / 100
+    assert recall >= 0.9, recall
+
+    # each (qid, cid) pair at most once: cells are disjoint, no dedupe needed
+    pairs = df.select("qid", "cid").collect()
+    assert len(pairs) == len({(r["qid"], r["cid"]) for r in pairs})
+
+
 def test_jaccard_plan_has_no_cache_and_expression_sizes(docs):
     """The corpus-sized shingle explode must not be cached (round-2 advice):
     no InMemoryTableScan in the plan, and per-doc sizes come from the

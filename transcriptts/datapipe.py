@@ -528,6 +528,108 @@ def ann_lsh_topk(
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
 
 
+def ivf_codebook(
+    emb: DataFrame, k_cells: int = 16, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[tuple[int, list[float]]]:
+    """Deterministic sampled codebook for IVF: the k vectors whose md5(id)
+    is lexicographically smallest. A random-sample codebook is a standard
+    coarse quantizer for IVF-Flat (no training loop), and hashing ids makes
+    the 'random' sample engine-portable: DuckDB's `ORDER BY md5(...) LIMIT k`
+    picks the identical k vectors, so the oracle can rebuild the codebook in
+    SQL. orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    top-k, driver merges k rows per partition) — no global sort at scale.
+
+    The codebook is a driver-side artifact (k x dim doubles) by design —
+    real IVF codebooks are trained offline and shipped to executors; here it
+    ships as literals inside the assignment projection, which makes cell
+    assignment a pure map (zero shuffle)."""
+    rows = (
+        emb.select(
+            F.col(id_col).alias("cb_id"), F.col(vec_col).cast("array<double>").alias("cv")
+        )
+        .orderBy(F.md5(F.col("cb_id").cast("string").cast("binary")), F.col("cb_id"))
+        .limit(k_cells)
+        .collect()
+    )
+    return [(int(r["cb_id"]), [float(x) for x in r["cv"]]) for r in rows]
+
+
+def _ivf_sorted_cells(v: Column, codebook: list[tuple[int, list[float]]]) -> Column:
+    """array<struct<d,c>> of (rounded squared L2 distance, centroid id),
+    sorted ascending — element 1 is the assignment, the first nprobe are the
+    probe list. d = |v|^2 + |c|^2 - 2 v.c with each dot a sequential
+    left-to-right fold, matching DuckDB's list_dot_product order so the
+    6-dp-rounded distances agree bit-for-bit between engines; ties break on
+    centroid id in both."""
+    vnorm2 = F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda acc, t: acc + t)
+    structs = []
+    for cb_id, cv in codebook:
+        cnorm2 = 0.0
+        for x in cv:
+            cnorm2 += x * x
+        dot = F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(x)) for x in cv]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        d = F.round(vnorm2 + F.lit(cnorm2) - 2.0 * dot, 6)
+        structs.append(F.struct(d.alias("d"), F.lit(cb_id).cast("long").alias("c")))
+    return F.array_sort(F.array(*structs))
+
+
+def ann_ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame | None = None,
+    k_cells: int = 16,
+    nprobe: int = 4,
+    topk: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook: list[tuple[int, list[float]]] | None = None,
+) -> DataFrame:
+    """Approximate NN via IVF-Flat: a k_cells coarse quantizer partitions the
+    corpus into cells (nearest-centroid assignment); each query probes its
+    nprobe nearest cells and exact cosine re-ranks only those candidates.
+    The complement to ann_lsh_topk — IVF gives data-adaptive buckets and an
+    explicit recall/cost dial (nprobe) instead of LSH's hyperplane count.
+
+    100-TB shape: assignment is a pure projection against codebook literals
+    (zero shuffle); the candidate join keys on cell id (k_cells-way hash
+    join, size k_cells ~ sqrt(N) in production to bound cell size; uneven
+    cells are AQE-skew-join territory); exact re-rank work is
+    |Q| * nprobe/k_cells * N instead of |Q| * N. Recall vs brute force is
+    measured in tests/test_datapipe.py and BENCH/ANN_RECALL.md."""
+    if codebook is None:
+        codebook = ivf_codebook(emb, k_cells=k_cells, vec_col=vec_col, id_col=id_col)
+    v = F.col(vec_col).cast("array<double>")
+    cells = _ivf_sorted_cells(v, codebook)
+    assigned = emb.select(
+        F.col(id_col).alias("cid"),
+        v.alias("cvec"),
+        F.element_at(cells, 1).getField("c").alias("cell"),
+    ).withColumn("cnorm", _norm(F.col("cvec")))
+    qsrc = queries if queries is not None else emb
+    probes = (
+        qsrc.select(
+            F.col(id_col).alias("qid"),
+            v.alias("qvec"),
+            F.explode(F.transform(F.slice(cells, 1, nprobe), lambda s: s.getField("c"))).alias(
+                "cell"
+            ),
+        )
+        .withColumn("qnorm", _norm(F.col("qvec")))
+    )
+    # cells are disjoint (each corpus vector lives in exactly one), so a
+    # (qid, cid) pair appears at most once across the probed cells — no dedupe
+    sims = probes.join(assigned, "cell").where(F.col("qid") != F.col("cid")).select(
+        "qid",
+        "cid",
+        (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
+    return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
+
+
 def embedding_dedup(
     emb: DataFrame, threshold: float = 0.98, n_planes: int = 10, seed: int = 7,
     vec_col: str = "embedding", id_col: str = "vec_id", dim: int | None = None,
