@@ -5,15 +5,22 @@ sequential kernels exactly, so the driver's CORRECTNESS gate can hash-compare
 them against the Spark queries. They are verification infrastructure, not
 engine code — the Spark side never imports them at query time.
 
-Why an UNPRUNED O(n^2) DP is a valid oracle for PELT: the reference's pruning
-step (PELTAlgorithm.cs:287-338) removes a candidate s at time t' only when
-F[s] + cost(s, t') > F[t']; for the subadditive segment costs used here
-(cost(s, u) >= cost(s, t) + cost(t, u)) that inequality propagates strictly to
-every later endpoint, so a pruned candidate can never be optimal NOR tie the
-optimum later — pruning is purely an optimization. The unpruned DP therefore
-produces identical F[]/CP[] arrays, including tie-breaking (the reference scans
-prev descending with strict '<', so the LARGEST prev among exact-equal
-candidates wins — reproduced via list_max over the argmin set).
+The DP fold simulates the reference's PRUNED admissible set exactly — it
+does NOT run a textbook unpruned O(n^2) DP. Pruning is only a pure
+optimization when min_size == 1: the theorem's "s is dominated via the route
+through t'" argument needs the (t', u) segment to be feasible, which fails
+for u - t' < min_size, so with min_size > 1 a pruned candidate can re-emerge
+as the true optimum at a nearby endpoint and the reference (which prunes
+with F[s] + cost(s, t') <= F[t'], PELTAlgorithm.cs:287-338, no feasibility
+guard) returns a different answer than the unpruned optimum. Witness:
+[0,0,0,1,0,0,1] under the Gaussian cost, penalty 0.5, min_size 2 — pruned
+(engine/reference) [3, 5] vs unpruned optimum [3]; property-tested in
+tests/test_pelt_pruning_property.py, which also checks THESE oracles return
+the engine's answer on that witness. The fold therefore carries adm[]
+alongside F[]/CP[] and replays the reference's keep-rule verbatim.
+Tie-breaking also matches: the reference scans prev descending with strict
+'<', so the LARGEST prev among equal candidates wins — reproduced via
+list_max over the argmin set.
 
 The DP recursion (one recursive CTE per query) mirrors PELTAlgorithm.cs:199-268:
 F[0] = -penalty, endpoints t = min_size..n, candidates s in [0, t - min_size],
