@@ -178,6 +178,35 @@ def test_pruning_is_observable_with_min_size_gt_1():
         assert bp_opt == [3]
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+@pytest.mark.parametrize("cost_name,penalty", [("l2", 10.0), ("gaussian", 2.0)])
+def test_duckdb_oracle_matches_engine_on_random_signals(seed, cost_name, penalty):
+    """Random-signal oracle parity, independent of the driver's testdata:
+    the DuckDB fold (z-score CTE + cost exprs + pruned DP) reproduces the
+    kernel's breakpoints on seeded noise-with-steps signals."""
+    import duckdb
+
+    from transcriptts.oracles import pelt_gaussian_sql, pelt_l2_sql
+
+    rng = np.random.default_rng(seed)
+    sig = np.concatenate(
+        [rng.normal(0, 1, 12), rng.normal(4, 1, 10), rng.normal(-2, 1, 12)]
+    )
+    z = (sig - sig.mean()) / sig.std()
+    n = len(sig)
+    bp_kernel = extract_breakpoints(
+        pelt_segment(make_cost(cost_name).fit(z), n, penalty, min_size=3), n
+    )
+
+    vals = ", ".join(f"('c', {i}, {v!r})" for i, v in enumerate(sig))
+    t_sql = f"t AS (SELECT * FROM (VALUES {vals}) AS v(conv_id, turn_idx, value))"
+    builder = pelt_l2_sql if cost_name == "l2" else pelt_gaussian_sql
+    sql = builder(t_sql, penalty=penalty, min_size=3)
+    con = duckdb.connect()
+    bp_oracle = sorted(int(r[1]) for r in con.sql(sql).fetchall())
+    assert bp_oracle == bp_kernel, (seed, cost_name, bp_oracle, bp_kernel)
+
+
 def test_duckdb_oracle_matches_engine_on_pruning_witness():
     """Layer 3: the DuckDB PELT oracle follows ENGINE semantics (pruned
     admissible set), not the textbook optimum, on the witness input."""
