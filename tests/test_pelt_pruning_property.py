@@ -207,6 +207,54 @@ def test_duckdb_oracle_matches_engine_on_random_signals(seed, cost_name, penalty
     assert bp_oracle == bp_kernel, (seed, cost_name, bp_oracle, bp_kernel)
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_duckdb_oracle_matches_engine_on_random_counts_poisson(seed):
+    """Discrete-cost oracle parity on random count signals — exercises the
+    epsilon-banded DP comparisons (libm-ulp-stable decisions)."""
+    import duckdb
+
+    from transcriptts.oracles import pelt_poisson_sql
+
+    rng = np.random.default_rng(100 + seed)
+    sig = np.concatenate([rng.poisson(3, 12), rng.poisson(12, 10), rng.poisson(1, 12)]).astype(
+        np.float64
+    )
+    n = len(sig)
+    bp_kernel = extract_breakpoints(
+        pelt_segment(make_cost("poisson").fit(sig), n, 5.0, min_size=3), n
+    )
+    vals = ", ".join(f"('c', {i}, {v!r})" for i, v in enumerate(sig))
+    t_sql = f"t AS (SELECT * FROM (VALUES {vals}) AS v(conv_id, turn_idx, value))"
+    con = duckdb.connect()
+    bp_oracle = sorted(
+        int(r[1]) for r in con.sql(pelt_poisson_sql(t_sql, penalty=5.0, min_size=3)).fetchall()
+    )
+    assert bp_oracle == bp_kernel, (seed, bp_oracle, bp_kernel)
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_duckdb_oracle_matches_engine_on_random_bits_bernoulli(seed):
+    import duckdb
+
+    from transcriptts.oracles import pelt_bernoulli_sql
+
+    rng = np.random.default_rng(200 + seed)
+    raw = np.concatenate([rng.normal(-1, 1, 14), rng.normal(1.5, 1, 14)])
+    z = (raw - raw.mean()) / raw.std()
+    bits = (z > 0).astype(np.float64)
+    n = len(raw)
+    bp_kernel = extract_breakpoints(
+        pelt_segment(make_cost("bernoulli").fit(bits), n, 1.0, min_size=3), n
+    )
+    vals = ", ".join(f"('c', {i}, {v!r})" for i, v in enumerate(raw))
+    t_sql = f"t AS (SELECT * FROM (VALUES {vals}) AS v(conv_id, turn_idx, value))"
+    con = duckdb.connect()
+    bp_oracle = sorted(
+        int(r[1]) for r in con.sql(pelt_bernoulli_sql(t_sql, penalty=1.0, min_size=3)).fetchall()
+    )
+    assert bp_oracle == bp_kernel, (seed, bp_oracle, bp_kernel)
+
+
 def test_duckdb_oracle_matches_engine_on_pruning_witness():
     """Layer 3: the DuckDB PELT oracle follows ENGINE semantics (pruned
     admissible set), not the textbook optimum, on the witness input."""
