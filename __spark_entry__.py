@@ -1119,6 +1119,19 @@ SELECT qid, cid, {_r6('cos', 'cos')}, cast(rank AS int) AS rank FROM ranked WHER
 """
 
 
+def _q_ann_ivf_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The large-codebook assignment path (Arrow-batched matmul UDF) against
+    the SAME oracle as the literal path: identical 6-dp distance rounding and
+    centroid-id tie-break make the two assignments agree, so this row
+    driver-verifies the Arrow path end-to-end."""
+    from transcriptts.datapipe import ann_ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.where(F.col("vec_id") % 5 == 0)
+    out = ann_ivf_topk(emb, queries=qs, k_cells=16, nprobe=4, topk=5, assign_method="pandas")
+    return _round6(out.select("qid", "cid", "cos", "rank"), "cos")
+
+
 def _q_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptts.datapipe import embedding_dedup
 
@@ -1181,8 +1194,9 @@ FROM s
 def _q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic synthetic media table → mapInPandas feature extraction.
     The decode is the documented stub; the Spark-side schema/batch contract
-    is what this query locks down (rows-only: binary payloads + sha-derived
-    features are not DuckDB-expressible)."""
+    is what this query locks down. Oracle: golden literals re-derived
+    independently in _sql_media_features (DuckDB's sha256 is VARCHAR-only,
+    so the digest-of-binary chain cannot be recomputed in SQL itself)."""
     from transcriptts.multimodal import extract_features, synth_media
 
     m = synth_media(spark, n=120, seed=42)
@@ -1201,6 +1215,49 @@ def _q_media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptts.multimodal import frame_sample_plan, synth_media
 
     return frame_sample_plan(synth_media(spark, n=120, seed=42), every_n=30)
+
+
+def _sql_media_features(n: int = 120, seed: int = 42) -> str:
+    """GOLDEN-LITERAL oracle. DuckDB's sha256() accepts only VARCHAR, so the
+    engine's digest-of-binary chain (sha256 over repeated raw digest bytes)
+    cannot be recomputed inside SQL. The expected rows are re-derived here
+    INDEPENDENTLY of transcriptts.multimodal — hashlib for the digests,
+    int.from_bytes for the little-endian uint32 (what np.frombuffer reads),
+    and a struct round-trip for the float32 narrowing — so the comparison
+    still verifies the whole Spark path: payload synthesis, Arrow batch
+    transport, mapInPandas extraction, schema, and the f0 value itself."""
+    import hashlib
+    import struct
+
+    kinds = ["image", "audio", "video"]
+    rows = []
+    for i in range(n):
+        payload = hashlib.sha256(f"{seed}:{i}".encode()).digest() * (4 + i % 7)
+        h = hashlib.sha256(payload).digest()
+        raw0 = int.from_bytes(h[:4], "little")
+        f32 = struct.unpack("f", struct.pack("f", raw0 / 0xFFFFFFFF))[0]
+        rows.append(f"({i}, '{kinds[i % 3]}', {len(payload)}, {f32!r})")
+    vals = ",\n".join(rows)
+    return f"""
+SELECT cast(media_id AS BIGINT) AS media_id, kind,
+       cast(payload_bytes AS BIGINT) AS payload_bytes, {_r6('f0', 'f0')}
+FROM (VALUES {vals}) AS v(media_id, kind, payload_bytes, f0)
+"""
+
+
+# Fully-independent SQL oracle: the synthetic media metadata is regenerated
+# in SQL (same id/kind/n_frames rules as synth_media) and the frame plan is
+# an inclusive generate_series, matching F.sequence's inclusive upper bound.
+_SQL_MEDIA_FRAME_PLAN = """
+WITH m AS (
+  SELECT i AS media_id, 300 + i AS n_frames
+  FROM unnest(generate_series(0, 119)) AS t(i)
+  WHERE i % 3 = 2
+)
+SELECT cast(media_id AS BIGINT) AS media_id,
+       cast(unnest(generate_series(0, greatest(n_frames - 1, 0), 30)) AS INT) AS frame_idx
+FROM m
+"""
 
 
 # --- statistical functions (SURVEY §2.7) ---------------------------------------
@@ -1328,6 +1385,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
+        "ann_ivf_topk_arrow": _q_ann_ivf_pandas,
         "embedding_dedup": _q_embedding_dedup,
         "media_features": _q_media_features,
         "media_frame_plan": _q_media_frame_plan,
@@ -1390,7 +1448,10 @@ def oracle_sql() -> dict[str, str]:
         "simhash_pairs": _sql_simhash(max_hamming=8),
         "ann_lsh_topk": _sql_ann_lsh(n_planes=8, seed=42, topk=5),
         "ann_ivf_topk": _SQL_ANN_IVF,
+        "ann_ivf_topk_arrow": _SQL_ANN_IVF,
         "embedding_dedup": _sql_embedding_dedup(n_planes=6, seed=7, threshold=0.35),
+        "media_features": _sql_media_features(n=120, seed=42),
+        "media_frame_plan": _SQL_MEDIA_FRAME_PLAN,
         "series_stats": _SQL_SERIES_STATS,
         "normalize_zscore": _SQL_NORMALIZE,
         # media_features / media_frame_plan: binary payloads + sha-derived

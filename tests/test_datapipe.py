@@ -247,6 +247,17 @@ def test_ann_ivf_recall_and_determinism(spark):
     pairs = df.select("qid", "cid").collect()
     assert len(pairs) == len({(r["qid"], r["cid"]) for r in pairs})
 
+    # the Arrow-batched large-codebook assignment path (matmul + stable
+    # argsort) produces the identical result set as the literal path: same
+    # 6-dp rounding, same centroid-id tie-break
+    df_p = D.ann_ivf_topk(emb, k_cells=16, nprobe=4, topk=5, codebook=cb1, assign_method="pandas")
+    lit_rows = {(r["qid"], r["cid"], round(r["cos"], 6)) for r in df.collect()}
+    pd_rows = {(r["qid"], r["cid"], round(r["cos"], 6)) for r in df_p.collect()}
+    assert lit_rows == pd_rows
+    # and the pandas path is Arrow-batched, never row-at-a-time Python
+    plan = df_p._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
 
 def test_jaccard_plan_has_no_cache_and_expression_sizes(docs):
     """The corpus-sized shingle explode must not be cached (round-2 advice):

@@ -26,6 +26,8 @@ join never happens.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under PEP 563
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -577,6 +579,34 @@ def _ivf_sorted_cells(v: Column, codebook: list[tuple[int, list[float]]]) -> Col
     return F.array_sort(F.array(*structs))
 
 
+def _ivf_probe_udf(codebook: list[tuple[int, list[float]]], nprobe: int):
+    """Arrow-batched nearest-cells UDF for large codebooks: the codebook
+    ships once per executor as captured numpy arrays (k x dim doubles — the
+    standard 'trained artifact' shape), distances are one matmul per Arrow
+    batch, and the rounding (6 dp) + tie-break (centroid id ascending, via
+    id-sorted columns + stable argsort) reproduce the literal path's
+    semantics exactly."""
+    import numpy as np
+    import pandas as pd
+
+    ids = np.array([c for c, _ in codebook], dtype=np.int64)
+    C = np.array([cv for _, cv in codebook], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, C = ids[order], C[order]
+    cnorm2 = (C * C).sum(axis=1)
+
+    @F.pandas_udf("array<long>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        V = np.asarray(vecs.tolist(), dtype=np.float64)
+        if V.size == 0:
+            return pd.Series([], dtype=object)
+        d = np.round((V * V).sum(axis=1)[:, None] + cnorm2[None, :] - 2.0 * (V @ C.T), 6)
+        near = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(ids[near]))
+
+    return probe_cells
+
+
 def ann_ivf_topk(
     emb: DataFrame,
     queries: DataFrame | None = None,
@@ -586,6 +616,7 @@ def ann_ivf_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     codebook: list[tuple[int, list[float]]] | None = None,
+    assign_method: str = "literal",
 ) -> DataFrame:
     """Approximate NN via IVF-Flat: a k_cells coarse quantizer partitions the
     corpus into cells (nearest-centroid assignment); each query probes its
@@ -593,29 +624,46 @@ def ann_ivf_topk(
     The complement to ann_lsh_topk — IVF gives data-adaptive buckets and an
     explicit recall/cost dial (nprobe) instead of LSH's hyperplane count.
 
-    100-TB shape: assignment is a pure projection against codebook literals
-    (zero shuffle); the candidate join keys on cell id (k_cells-way hash
-    join, size k_cells ~ sqrt(N) in production to bound cell size; uneven
-    cells are AQE-skew-join territory); exact re-rank work is
+    assign_method picks how vectors find their cells:
+    - 'literal' (default, oracle-exact): argmin over codebook literals baked
+      into one Catalyst expression — zero shuffle, whole-stage codegen, but
+      expression size grows as k_cells x dim, so it is for small codebooks
+      (k <~ 100).
+    - 'pandas': Arrow-batched matmul against a captured numpy codebook —
+      the 100-TB path, since production k_cells ~ sqrt(N) (tens of
+      thousands) cannot literal-expand. Same 6-dp rounding and centroid-id
+      tie-break, so assignments agree with 'literal' except on d-values
+      within one fp-ulp of a rounding boundary.
+
+    100-TB shape: assignment is a pure map either way (no shuffle); the
+    candidate join keys on cell id (k_cells-way hash join, size k_cells ~
+    sqrt(N) in production to bound cell size; uneven cells are
+    AQE-skew-join territory); exact re-rank work is
     |Q| * nprobe/k_cells * N instead of |Q| * N. Recall vs brute force is
     measured in tests/test_datapipe.py and BENCH/ANN_RECALL.md."""
     if codebook is None:
         codebook = ivf_codebook(emb, k_cells=k_cells, vec_col=vec_col, id_col=id_col)
     v = F.col(vec_col).cast("array<double>")
-    cells = _ivf_sorted_cells(v, codebook)
+    if assign_method == "literal":
+        cells = _ivf_sorted_cells(v, codebook)
+        assign_cell = F.element_at(cells, 1).getField("c")
+        probe_arr = F.transform(F.slice(cells, 1, nprobe), lambda s: s.getField("c"))
+    elif assign_method == "pandas":
+        assign_cell = F.element_at(_ivf_probe_udf(codebook, 1)(v), 1)
+        probe_arr = _ivf_probe_udf(codebook, nprobe)(v)
+    else:
+        raise ValueError(f"unknown assign_method {assign_method!r} (literal | pandas)")
     assigned = emb.select(
         F.col(id_col).alias("cid"),
         v.alias("cvec"),
-        F.element_at(cells, 1).getField("c").alias("cell"),
+        assign_cell.alias("cell"),
     ).withColumn("cnorm", _norm(F.col("cvec")))
     qsrc = queries if queries is not None else emb
     probes = (
         qsrc.select(
             F.col(id_col).alias("qid"),
             v.alias("qvec"),
-            F.explode(F.transform(F.slice(cells, 1, nprobe), lambda s: s.getField("c"))).alias(
-                "cell"
-            ),
+            F.explode(probe_arr).alias("cell"),
         )
         .withColumn("qnorm", _norm(F.col("qvec")))
     )
