@@ -774,6 +774,26 @@ FROM t GROUP BY conv_id
 """
 
 
+def _q_turns_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star per-row invariant, driver-checked: per-turn text equality
+    under stable (conv_id, turn_idx) ordering, as one md5 fingerprint per
+    conversation (transcriptts/store.py:turns_fingerprint). A hash match
+    against DuckDB's independently-ordered string_agg proves both engines
+    see byte-identical text in identical turn order."""
+    from transcriptts.store import turns_fingerprint
+
+    return turns_fingerprint(_transcripts(spark, sf_dir))
+
+
+_SQL_TURNS_TEXT_FP = f"""
+WITH {_T_SQL}
+SELECT conv_id, count(*) AS n_turns,
+       md5(string_agg(cast(turn_idx AS varchar) || chr(30) || coalesce(text, chr(2)),
+                      chr(31) ORDER BY turn_idx)) AS text_fp
+FROM t GROUP BY conv_id
+"""
+
+
 # --- training-data pipeline ops (documents / embeddings) ----------------------
 
 _BPE = r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"
@@ -1374,6 +1394,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_mul_forecast": _q_holt_mul,
         "holt_opt_forecast": _q_holt_opt,
         "gorilla_roundtrip_agg": _q_gorilla_roundtrip,
+        "turns_text_fingerprint": _q_turns_text_fingerprint,
         "text_stats": _q_text_stats,
         "quality_score": _q_quality,
         "lang_id": _q_lang_id,
@@ -1437,6 +1458,7 @@ def oracle_sql() -> dict[str, str]:
         "penalty_selection_bic": _oracles.penalty_selection_sql(_T_SQL, _r6, "bic", 3, 20),
         "penalty_selection_aicc": _oracles.penalty_selection_sql(_T_SQL, _r6, "aicc", 3, 20),
         "gorilla_roundtrip_agg": _SQL_GORILLA,
+        "turns_text_fingerprint": _SQL_TURNS_TEXT_FP,
         "text_stats": _SQL_TEXT_STATS,
         "quality_score": _SQL_QUALITY,
         "lang_id": _SQL_LANG_ID,

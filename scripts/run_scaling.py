@@ -20,6 +20,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -67,10 +68,34 @@ def spark_submit(master: str, zip_path: str, cli_args: list[str], shuffle_partit
     raise RuntimeError("no JSON line in spark-submit output")
 
 
+def load1() -> float:
+    return os.getloadavg()[0]
+
+
+def wait_quiet(max_load: float, timeout_s: float = 900.0) -> float:
+    """Block until the 1-min load average drops below max_load (or timeout).
+
+    The sandbox box is shared: external tenants routinely hold 5-10 cores
+    (load visible in /proc/loadavg with zero local processes). External load
+    hurts the 4N leg MORE than the N leg (it needs 4x as many free cores),
+    so an efficiency measured under load is biased DOWN — gating rounds on a
+    quiet window removes that bias instead of hiding it. The observed load
+    is recorded per leg either way."""
+    t0 = time.time()
+    cur = load1()
+    while cur > max_load and time.time() - t0 < timeout_s:
+        print(f"waiting for quiet host (load {cur:.2f} > {max_load})", file=sys.stderr)
+        time.sleep(30)
+        cur = load1()
+    return cur
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--turns", type=int, default=4_000_000)
     ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--max-load", type=float, default=3.0,
+                    help="1-min load-average gate before each round (0 disables)")
     ap.add_argument("--passes", type=int, default=1,
                     help="timed passes for the LOW leg")
     ap.add_argument(
@@ -106,13 +131,18 @@ def main() -> None:
     lo_best = hi_best = None
     for i in range(args.rounds):
         pair = {}
+        if args.max_load > 0:
+            wait_quiet(args.max_load)
         for cores in (args.low, args.high):
             n_passes = args.passes if cores == args.low else passes_high
+            pre_load = load1()
             r = spark_submit(
                 f"local[{cores}]", zip_path,
                 ["bench", "--input", data_path, "--passes", str(n_passes)],
                 4 * args.high,
             )
+            r["ext_load_pre"] = round(pre_load, 2)
+            r["ext_load_post"] = round(load1() - cores, 2)
             print(f"round {i} local[{cores}]:", r, file=sys.stderr)
             pair[cores] = r
         # per-leg MEDIAN: with unequal pass counts (equal wall-clock
@@ -147,7 +177,9 @@ def main() -> None:
 
     round_rows = "\n".join(
         f"| {r['round']} | {r['low']['wall_sec_median']} | {r['high']['wall_sec_median']} "
-        f"| {r['low']['turns_per_sec_median']:,} | {r['high']['turns_per_sec_median']:,} | {r['efficiency']:.3f} |"
+        f"| {r['low']['turns_per_sec_median']:,} | {r['high']['turns_per_sec_median']:,} "
+        f"| {r['low'].get('ext_load_pre', '?')} / {r['high'].get('ext_load_pre', '?')} "
+        f"| {r['efficiency']:.3f} |"
         for r in rounds
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -177,8 +209,14 @@ shorter leg and the unequal sample counts cannot bias a min-estimator)
 and yields one efficiency ratio; the reported figure is the MEDIAN
 over {args.rounds} rounds.
 
-| round | local[{args.low}] wall s | local[{args.high}] wall s | local[{args.low}] turns/s | local[{args.high}] turns/s | efficiency |
-|---|---|---|---|---|---|
+Rounds additionally gate on a quiet host (1-min load average <
+{args.max_load} before starting; the box is shared and external tenants
+routinely hold 5-10 cores) because external load biases the ratio DOWN
+asymmetrically — the 4N leg needs 4x as many free cores as the N leg.
+Each leg records the load it actually saw (pre-run 1-min load).
+
+| round | local[{args.low}] wall s | local[{args.high}] wall s | local[{args.low}] turns/s | local[{args.high}] turns/s | ext load (low/high leg) | efficiency |
+|---|---|---|---|---|---|---|
 {round_rows}
 
 **Median efficiency = {efficiency:.3f}** → north rule (>= 0.8):

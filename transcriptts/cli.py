@@ -92,9 +92,22 @@ def main(argv=None) -> int:
         df = spark.read.parquet(args.input)
         n_turns = df.count()
 
+        from concurrent.futures import ThreadPoolExecutor
+
         def run_tiers() -> None:
-            for tier_df in rollup_tiers(df, persist_derived=args.persist_derived).values():
-                tier_df.write.format("noop").mode("overwrite").save()
+            # submit the three tier jobs concurrently: each tier's plan (and
+            # hence the work decomposition) is unchanged, but the scheduler
+            # can fill the idle slots of one job's straggler wave / planning
+            # gap with another job's tasks — dead time that otherwise grows
+            # with core count and erodes measured scaling efficiency
+            tiers = rollup_tiers(df, persist_derived=args.persist_derived)
+            with ThreadPoolExecutor(max_workers=len(tiers)) as ex:
+                futs = [
+                    ex.submit(lambda t=t: t.write.format("noop").mode("overwrite").save())
+                    for t in tiers.values()
+                ]
+                for f in futs:
+                    f.result()
             if args.persist_derived:
                 spark.catalog.clearCache()
 
