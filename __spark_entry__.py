@@ -966,6 +966,39 @@ WHERE len(list_intersect(da.shl, db.shl)) * 1.0 /
 """
 
 
+def _q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive dedup groups: MinHash+LSH pairs (same params as
+    minhash_lsh_dedup) -> distributed min-label connected components ->
+    per-document canonical component id + keep flag."""
+    from transcriptts.datapipe import dedup_components, minhash_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_dedup(docs, num_hashes=32, bands=8, k=3, threshold=0.3, hash_mode="md5")
+    return dedup_components(docs, pairs)
+
+
+# The same MinHash pair set (subquery'd — DuckDB allows a WITH inside a
+# derived table), then an exact transitive closure by recursive CTE:
+# reach(v, r) = r reachable from v; component id = min reachable id. The
+# Spark side's min-label propagation converges to the identical labeling
+# (both are "smallest id in the connected component" — unique, no ties).
+def _sql_dedup_components() -> str:
+    return f"""
+WITH RECURSIVE
+p AS (SELECT id_a, id_b FROM ({_sql_minhash()}) mh),
+edges AS (SELECT id_a AS src, id_b AS dst FROM p UNION SELECT id_b, id_a FROM p),
+reach AS (
+  SELECT src AS v, src AS r FROM edges
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON reach.v = e.dst
+),
+comp AS (SELECT v, min(r) AS component_id FROM reach GROUP BY v)
+SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id,
+       coalesce(c.component_id, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.v = d.doc_id
+"""
+
+
 def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force exactness baseline with an EXPLICIT small query frame
     (every 5th vector) — the corpus never broadcasts; self-similarity at
@@ -1402,6 +1435,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "minhash_lsh_dedup": _q_minhash_dedup,
+        "dedup_components": _q_dedup_components,
         "cosine_topk": _q_cosine_topk,
         "simhash_pairs": _q_simhash_pairs,
         "ann_lsh_topk": _q_ann_lsh,
@@ -1466,6 +1500,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": _SQL_DOC_FINGERPRINT,
         "ngram_jaccard_pairs": _SQL_JACCARD,
         "minhash_lsh_dedup": _sql_minhash(),
+        "dedup_components": _sql_dedup_components(),
         "cosine_topk": _SQL_COSINE_TOPK,
         "simhash_pairs": _sql_simhash(max_hamming=8),
         "ann_lsh_topk": _sql_ann_lsh(n_planes=8, seed=42, topk=5),

@@ -36,9 +36,22 @@ def make_zip(path: str) -> None:
                     z.write(full, os.path.relpath(full, REPO))
 
 
-def spark_submit(master: str, zip_path: str, cli_args: list[str], shuffle_partitions: int) -> dict:
+def spark_submit(
+    master: str, zip_path: str, cli_args: list[str], shuffle_partitions: int,
+    pin_cpus: int = 0,
+) -> dict:
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
-    cmd = [
+    cmd = []
+    if pin_cpus:
+        # Pin the whole process tree (JVM + Python workers) to exactly
+        # `pin_cpus` host CPUs. Without affinity, a local[2] JVM still fans
+        # its GC/JIT/netty threads across all 32 host cores — the low leg
+        # gets ~30 free helper cores a real 2-core executor would not have,
+        # which biases measured scaling efficiency DOWN. Affinity makes each
+        # leg a faithful N-core executor (availableProcessors follows the
+        # mask, so GC/JIT pools self-size to N as on a real N-core box).
+        cmd += ["taskset", "-c", f"0-{pin_cpus - 1}"]
+    cmd += [
         "spark-submit",
         "--master", master,
         # IDENTICAL work decomposition at both parallelism levels: fixed
@@ -105,6 +118,10 @@ def main() -> None:
         "one noise burst would otherwise bias the ratio down)")
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument(
+        "--no-pin", action="store_true",
+        help="disable CPU affinity pinning (default: each leg is pinned to "
+        "exactly its core count, the faithful N-core-executor substitution)")
     args = ap.parse_args()
 
     zip_path = "/tmp/transcriptts.zip"
@@ -140,6 +157,7 @@ def main() -> None:
                 f"local[{cores}]", zip_path,
                 ["bench", "--input", data_path, "--passes", str(n_passes)],
                 4 * args.high,
+                pin_cpus=0 if args.no_pin else cores,
             )
             r["ext_load_pre"] = round(pre_load, 2)
             r["ext_load_post"] = round(load1() - cores, 2)
@@ -175,6 +193,20 @@ def main() -> None:
     }
     print(json.dumps(summary))
 
+    if args.no_pin:
+        pin_note = (
+            "Legs are NOT CPU-pinned (--no-pin): local[N] limits task slots "
+            "only, while JVM helper threads float across all host cores."
+        )
+    else:
+        pin_note = (
+            "Each leg is PINNED (taskset) to exactly its core count, so the "
+            "JVM's GC/JIT/IO helper threads are confined to the same N CPUs a "
+            "real N-core executor would own. Without pinning, a local[N] JVM "
+            "fans helper threads across all 32 host cores, granting the low "
+            "leg ~30 free helper cores and biasing the measured efficiency "
+            "down (a 2-core leg was observed running with >250% process CPU)."
+        )
     round_rows = "\n".join(
         f"| {r['round']} | {r['low']['wall_sec_median']} | {r['high']['wall_sec_median']} "
         f"| {r['low']['turns_per_sec_median']:,} | {r['high']['turns_per_sec_median']:,} "
@@ -196,6 +228,8 @@ transcript turns, fully materialized via noop sink) run via
 (N={args.low} and 4N={args.high} cores) on the same pre-generated parquet
 input, with an IDENTICAL work decomposition (shuffle partitions fixed at
 {4 * args.high} for both levels).
+
+{pin_note}
 
 **Paired measurement protocol.** The sandbox host has noisy neighbors
 (identical runs vary up to 10x under load spikes), so comparing a best-of-N

@@ -285,3 +285,61 @@ def test_multimodal_decoder_seam(spark):
     for r in rows.values():
         assert len(r["feature"]) == M.FEATURE_DIM
         assert r["feature"][0] == float(r["payload_bytes"])
+
+
+# --- connected components / dedup groups ---------------------------------------
+
+
+def _uf_components(n_ids, pairs):
+    """Naive union-find ground truth: id -> min id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in n_ids}
+
+
+def test_connected_components_matches_union_find(spark):
+    # two chains, one triangle-with-tail, singleton edge endpoints
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22), (22, 23)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["v"]: r["component_id"] for r in D.connected_components(df).collect()}
+    ids = sorted({x for p in pairs for x in p})
+    want = _uf_components(ids, pairs)
+    assert got == want
+    # chain 1-2-3-4 collapses to 1 despite (1,4) never being a pair
+    assert got[4] == 1 and got[23] == 20
+
+
+def test_connected_components_long_path_converges(spark):
+    # path graph of 40 nodes — worst case for label propagation (diameter 39)
+    pairs = [(i, i + 1) for i in range(40)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long")
+    got = {r["v"]: r["component_id"] for r in D.connected_components(df, max_iter=50).collect()}
+    assert set(got.values()) == {0} and len(got) == 41
+
+
+def test_dedup_components_keep_set(spark, docs):
+    """End-to-end: minhash pairs -> transitive groups -> one canonical doc
+    per group; docs without any near-dup keep themselves."""
+    pairs = D.minhash_dedup(docs, num_hashes=32, bands=8, k=3, threshold=0.3, hash_mode="md5")
+    out = D.dedup_components(docs, pairs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == 9
+    pair_rows = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    want = _uf_components(sorted(rows), pair_rows)
+    for did, r in rows.items():
+        assert r["component_id"] == want.get(did, did)
+        assert r["is_canonical"] == (r["component_id"] == did)
+    # 0, 1, 6 are mutual near-dups in the fixture: one canonical survivor
+    assert rows[0]["component_id"] == rows[1]["component_id"] == rows[6]["component_id"] == 0
+    assert rows[7]["is_canonical"] and rows[8]["is_canonical"]

@@ -678,6 +678,79 @@ def ann_ivf_topk(
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
 
 
+def connected_components(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over a dup-pair edge list by
+    min-label propagation: label(v) starts at v, each round takes the min of
+    a node's label and its neighbors' labels, converging in graph-diameter
+    rounds. Returns (v, component_id) for every node that appears in a pair;
+    component_id = the smallest node id in the component.
+
+    This is the last step of a real dedup pipeline: candidate generators
+    (minhash_dedup / simhash_pairs / embedding_dedup) emit PAIRS, but the
+    keep-set needs transitive groups — a~b and b~c must collapse a,b,c to
+    one canonical id even though (a,c) was never emitted.
+
+    Scale shape: each round is ONE shuffle join keyed on node id plus a
+    min-aggregation (map-side partial), and lineage is truncated per round
+    with an eager localCheckpoint so the plan does not grow with rounds.
+    Near-dup clusters have tiny diameters (dup groups are near-cliques from
+    banding), so rounds ~ 2-4 in practice; for adversarial long-path graphs
+    at 10^9+ nodes, swap the propagation body for the two-phase
+    large-star/small-star contraction (Kiveris et al., "Connected Components
+    in MapReduce and Beyond", SoCC'14) which bounds rounds at O(log^2 n) —
+    the surrounding loop, convergence test, and contract stay identical.
+    Labels only ever decrease, so the convergence test (any label strictly
+    smaller than last round's) is exact."""
+    e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
+    edges = edges.localCheckpoint(eager=True)
+    labels = edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges["dst"] == labels["v"]).select(
+            edges["src"].alias("v"), F.col("label")
+        )
+        new_labels = (
+            labels.union(prop).groupBy("v").agg(F.min("label").alias("label"))
+        ).localCheckpoint(eager=True)
+        shrunk = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "v")
+            .where(F.col("n.label") < F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if shrunk == 0:
+            return labels.select("v", F.col("label").alias("component_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds; "
+        "the pair graph has a longer path diameter than expected — raise "
+        "max_iter or switch to large-star/small-star contraction"
+    )
+
+
+def dedup_components(
+    docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+    id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25,
+) -> DataFrame:
+    """Canonical keep-set from dup pairs: every document labeled with its
+    connected component's smallest doc id; is_canonical marks the one doc
+    per component that survives dedup (singletons keep themselves)."""
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    return (
+        docs.select(id_col)
+        .join(comp.withColumnRenamed("v", id_col), id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("component_id", F.col(id_col)).alias("component_id"),
+        )
+        .withColumn("is_canonical", F.col("component_id") == F.col(id_col))
+    )
+
+
 def embedding_dedup(
     emb: DataFrame, threshold: float = 0.98, n_planes: int = 10, seed: int = 7,
     vec_col: str = "embedding", id_col: str = "vec_id", dim: int | None = None,
