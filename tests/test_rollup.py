@@ -7,6 +7,7 @@ from __future__ import annotations
 import datetime as dt
 
 import pytest
+from pyspark.sql import functions as F
 
 from transcriptts.rollup import (
     coarsen_partials,
@@ -167,3 +168,56 @@ def test_hierarchical_single_tier_persists_nothing(spark):
     assert list(hier) == ["1h"]
     assert hier.persisted == []
     assert hier["1h"].count() > 0
+
+
+def test_approx_percentile_mode_within_rank_error(spark):
+    """percentile_mode='approx' (GK mergeable sketch) keeps moments
+    bit-identical to exact and lands p50/p99 on an ACTUAL bucket value
+    whose rank is within 1/accuracy of the target rank — the documented
+    100-TB bounded-memory path."""
+    tbl = synth_transcripts_arrow(n_convs=30, metronome_turns=90, seed=7)
+    d = with_derived_metrics(spark.createDataFrame(tbl.to_pandas())).select(
+        "conv_id", "ts", "token_count", "latency_s"
+    )
+    exact = {
+        (r["conv_id"], r["bucket_start"], r["metric"]): r
+        for r in rollup(d, "1h").collect()
+    }
+    approx = rollup(d, "1h", percentile_mode="approx", approx_accuracy=10000).collect()
+    assert len(approx) == len(exact)
+    from collections import defaultdict
+
+    vals = defaultdict(list)
+    for r in d.select("conv_id", F.date_trunc("hour", "ts").alias("b"),
+                      "token_count", "latency_s").collect():
+        if r["token_count"] is not None:
+            vals[(r["conv_id"], r["b"], "token_count")].append(float(r["token_count"]))
+        if r["latency_s"] is not None:
+            vals[(r["conv_id"], r["b"], "latency_s")].append(float(r["latency_s"]))
+    for r in approx:
+        key = (r["conv_id"], r["bucket_start"], r["metric"])
+        e = exact[key]
+        for c in ("cnt", "sum", "mean", "min", "max"):
+            assert r[c] == pytest.approx(e[c], abs=1e-9), (c, r, e)
+        bucket = sorted(vals[key])
+        n = len(bucket)
+        for col, p in (("p50", 0.5), ("p99", 0.99)):
+            assert r[col] in bucket  # sketch returns an actual sample
+            # rank error bound: |rank(returned) - p*n| <= n/accuracy + 1
+            rk_lo = bucket.index(r[col])
+            rk_hi = n - 1 - bucket[::-1].index(r[col])
+            target = p * (n - 1)
+            tol = n / 10000.0 + 1.0
+            assert rk_lo - tol <= target <= rk_hi + tol, (col, r, n)
+
+
+def test_rollup_tiers_approx_mode_schema(spark):
+    tbl = synth_transcripts_arrow(n_convs=5, metronome_turns=0, seed=3)
+    df = spark.createDataFrame(tbl.to_pandas())
+    ex = rollup_tiers(df)
+    ap = rollup_tiers(df, percentile_mode="approx")
+    for t in ("1m", "1h", "1d"):
+        assert ap[t].schema == ex[t].schema
+        assert ap[t].count() == ex[t].count()
+    with pytest.raises(ValueError):
+        rollup(with_derived_metrics(df), "1m", percentile_mode="bogus")

@@ -67,7 +67,10 @@ def _long_metrics(df: DataFrame) -> DataFrame:
     )
 
 
-def rollup(df: DataFrame, tier: str = "1m") -> DataFrame:
+def rollup(
+    df: DataFrame, tier: str = "1m", percentile_mode: str = "exact",
+    approx_accuracy: int = 10000,
+) -> DataFrame:
     """One retention tier of continuous aggregates from raw turns.
 
     df must already carry token_count/latency_s (see with_derived_metrics).
@@ -82,17 +85,38 @@ def rollup(df: DataFrame, tier: str = "1m") -> DataFrame:
       sort-buffers;
     - the long output shape is produced AFTER aggregation by exploding a
       2-struct array on the (small) aggregated rows.
+
+    percentile_mode:
+    - 'exact' (default): Spark's exact interpolating percentile — matches
+      the reference's median semantics bit-for-bit (even n → mean of the
+      two middle values) and is what every oracle row verifies. Buffers
+      each bucket's values, so bucket size bounds task memory.
+    - 'approx': percentile_approx (Greenwald-Khanna mergeable sketch,
+      rank error <= 1/approx_accuracy). The 100-TB escape hatch when a
+      single bucket's value multiset no longer fits an aggregation buffer
+      (hour/day tiers over pathological conversations): sketch state is
+      O(accuracy * log n) per group regardless of bucket size, and
+      map-side partials merge instead of concatenating. Not bit-exact —
+      keep it OFF anywhere reference parity is asserted.
     """
+    if percentile_mode not in ("exact", "approx"):
+        raise ValueError(f"percentile_mode must be 'exact' or 'approx', got {percentile_mode!r}")
     duration = TIERS[tier]
+    ps = F.array(F.lit(0.5), F.lit(0.99))
     aggs = []
     for m in METRICS:
         v = F.col(m).cast("double")
+        pct = (
+            F.percentile(v, ps)
+            if percentile_mode == "exact"
+            else F.percentile_approx(v, ps, F.lit(approx_accuracy)).cast("array<double>")
+        )
         aggs += [
             F.count(v).alias(f"{m}_cnt"),
             F.sum(v).alias(f"{m}_sum"),
             F.min(v).alias(f"{m}_min"),
             F.max(v).alias(f"{m}_max"),
-            F.percentile(v, F.array(F.lit(0.5), F.lit(0.99))).alias(f"{m}_pct"),
+            pct.alias(f"{m}_pct"),
         ]
     wide = df.groupBy("conv_id", F.window("ts", duration).alias("w")).agg(*aggs)
     per_metric = F.array(
@@ -431,7 +455,8 @@ def rollup_tiers_union(df: DataFrame) -> DataFrame:
 
 
 def rollup_tiers(
-    df: DataFrame, exact_percentiles: bool = True, persist_derived: bool = False
+    df: DataFrame, exact_percentiles: bool = True, persist_derived: bool = False,
+    percentile_mode: str = "exact",
 ) -> dict[str, DataFrame]:
     """All three retention tiers from one raw transcripts DataFrame.
 
@@ -439,6 +464,10 @@ def rollup_tiers(
     derived rows (percentiles exact everywhere; one shuffle per tier).
     False → 1m exact, 1h/1d via coarsen_partials (coarse percentiles NULL —
     the cheapest maintenance path: no re-shuffle of raw values at all).
+
+    percentile_mode='approx' swaps every tier's percentile for the
+    Greenwald-Khanna mergeable sketch (see rollup()) — the bounded-memory
+    path for pathological buckets at 100 TB.
 
     persist_derived caches the slim 4-column derived projection so the raw
     table (with its wide `text` column) is scanned once — worth it when raw
@@ -450,10 +479,10 @@ def rollup_tiers(
         from pyspark.storagelevel import StorageLevel
 
         derived = derived.persist(StorageLevel.MEMORY_AND_DISK)
-    out = {"1m": rollup(derived, "1m")}
+    out = {"1m": rollup(derived, "1m", percentile_mode=percentile_mode)}
     if exact_percentiles:
-        out["1h"] = rollup(derived, "1h")
-        out["1d"] = rollup(derived, "1d")
+        out["1h"] = rollup(derived, "1h", percentile_mode=percentile_mode)
+        out["1d"] = rollup(derived, "1d", percentile_mode=percentile_mode)
     else:
         out["1h"] = coarsen_partials(out["1m"], "1h")
         out["1d"] = coarsen_partials(out["1h"], "1d")
