@@ -197,6 +197,41 @@ FROM t GROUP BY 1, 2
 """
 
 
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap sessionization (30m) + per-session summary: one window
+    pass assigns session ids (cumulative gap-boundary count per conv), one
+    groupBy summarizes — the transcripts-native split for long agent traces
+    (rollup.with_session_id)."""
+    from transcriptts.rollup import with_session_id
+
+    s = with_session_id(_transcripts(spark, sf_dir), "30 minutes")
+    return s.groupBy("conv_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts").alias("ts_start"),
+        F.max("ts").alias("ts_end"),
+    )
+
+
+_SQL_SESSIONIZE = f"""
+WITH {_T_SQL},
+g AS (
+  SELECT conv_id, turn_idx, ts,
+         CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+                   > 1800000000 THEN 1 ELSE 0 END AS is_new
+  FROM t
+),
+s AS (
+  SELECT conv_id, ts,
+         sum(is_new) OVER (PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM g
+)
+SELECT conv_id, cast(sid AS bigint) AS session_id, count(*) AS n_turns,
+       min(ts) AS ts_start, max(ts) AS ts_end
+FROM s GROUP BY 1, 2
+"""
+
+
 def _hourly_value_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """1h rollup of events.value per user — input for the gap-fill queries."""
     t = _transcripts(spark, sf_dir)
@@ -1399,6 +1434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "downsample_k4": _q_downsample,
         "segment_stats_k8": _q_segment_stats,
         "gapfill_locf_interp_1h": _q_gapfill,
+        "sessionize_30m": _q_sessionize,
         "sma_w5": _q_sma,
         "sma_w5_mirror": _q_sma_mirror,
         "sma_w5_periodic": _q_sma_periodic,
@@ -1459,6 +1495,7 @@ def oracle_sql() -> dict[str, str]:
         "downsample_k4": _SQL_DOWNSAMPLE,
         "segment_stats_k8": _SQL_SEGMENT_STATS,
         "gapfill_locf_interp_1h": _SQL_GAPFILL,
+        "sessionize_30m": _SQL_SESSIONIZE,
         "sma_w5": _SQL_SMA,
         "sma_w5_mirror": _SQL_SMA_MIRROR,
         "sma_w5_periodic": _SQL_SMA_PERIODIC,

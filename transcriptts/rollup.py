@@ -57,6 +57,49 @@ def with_derived_metrics(df: DataFrame) -> DataFrame:
     )
 
 
+def with_session_id(df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Split each conversation into sessions at inactivity gaps > `gap`.
+
+    session_id is the 0-based running count of gap-exceeding boundaries
+    before the turn: a cumulative sum over an is-new-session indicator in
+    ONE window pass per conversation (the same (conv_id, turn_idx) window
+    with_derived_metrics already shuffles by, so sessionizing a derived
+    frame adds no extra exchange). Turn 0 starts session 0; a null previous
+    ts cannot occur mid-conversation (ts is non-null per the input hint).
+
+    The transcripts-native cut for training pipelines: long agent traces
+    with day-long idle stretches become separately-windowable sessions
+    without touching the raw partitioning.
+    """
+    w = Window.partitionBy("conv_id").orderBy("turn_idx")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap_us = F.lit(int(_parse_gap_us(gap)))
+    is_new = (ts_us - F.lag(ts_us).over(w) > gap_us).cast("long")
+    return df.withColumn(
+        "session_id",
+        F.coalesce(
+            F.sum(F.coalesce(is_new, F.lit(0))).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+            F.lit(0),
+        ),
+    )
+
+
+def _parse_gap_us(gap: str) -> int:
+    """'30 minutes' / '2 hours' / '45 seconds' / '1 day' → microseconds."""
+    qty, unit = gap.split()
+    mult = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+        "day": 86_400_000_000, "days": 86_400_000_000,
+    }
+    if unit not in mult:
+        raise ValueError(f"unsupported gap unit {unit!r} in {gap!r}")
+    return int(qty) * mult[unit]
+
+
 def _long_metrics(df: DataFrame) -> DataFrame:
     """Wide → long: one row per (turn, metric); null metric values dropped
     (turn 0 has no latency — matches 'gaps do not exist' reference model)."""
