@@ -121,3 +121,44 @@ def test_foreach_batch_bridge_runs_full_batch_rollup(spark, tmp_path):
     assert sum(r["cnt"] for r in toks.values()) == 12
     lats = got.where("metric='latency_s'").collect()
     assert len(lats) > 0 and all(r["p50"] is not None for r in lats)  # exact percentiles present
+
+
+def test_streaming_sessions_gap_split_and_boundary(spark, tmp_path):
+    """session_window splits conversations at inactivity gaps; sessions
+    finalize once the watermark passes. Also pins the exact-gap boundary
+    behavior so batch (with_session_id, strict '>') and streaming semantics
+    are documented against each other."""
+    from transcriptts.streaming import streaming_sessions
+
+    inp = str(tmp_path / "in")
+    rows = [
+        # conv a: 3 turns a minute apart, then a 45m gap, then 2 turns
+        ("a", 0, "user", "t1 t2", None, BASE),
+        ("a", 1, "user", "t", None, BASE + dt.timedelta(minutes=1)),
+        ("a", 2, "user", "t", None, BASE + dt.timedelta(minutes=2)),
+        ("a", 3, "user", "t", None, BASE + dt.timedelta(minutes=47)),
+        ("a", 4, "user", "t t t", None, BASE + dt.timedelta(minutes=48)),
+        # conv b: exactly-30m gap (the boundary case)
+        ("b", 0, "user", "t", None, BASE),
+        ("b", 1, "user", "t", None, BASE + dt.timedelta(minutes=30)),
+        # watermark pusher far in the future so everything above finalizes
+        ("z", 0, "user", "t", None, BASE + dt.timedelta(hours=6)),
+    ]
+    _write_batch(spark, inp, rows)
+
+    agg = streaming_sessions(
+        read_transcript_stream(spark, inp), gap="30 minutes", watermark="1 minute"
+    )
+    run_stream_to_memory(agg, "sess1", str(tmp_path / "ck_sess"))
+    out = spark.sql("select * from sess1").collect()
+    a = sorted([r for r in out if r["conv_id"] == "a"], key=lambda r: r["session_start"])
+    assert len(a) == 2
+    assert a[0]["n_turns"] == 3 and a[0]["token_sum"] == 4.0
+    assert a[0]["session_start"] == BASE
+    assert a[1]["n_turns"] == 2 and a[1]["token_sum"] == 4.0
+    assert a[1]["session_start"] == BASE + dt.timedelta(minutes=47)
+    b = [r for r in out if r["conv_id"] == "b"]
+    # exact-gap boundary: session_window extends on touch (end is exclusive
+    # at prev_ts + gap, and an event AT that instant merges) — same grouping
+    # as the batch path's strict '>' split
+    assert len(b) == 1 and b[0]["n_turns"] == 2

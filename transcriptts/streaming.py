@@ -69,6 +69,38 @@ def streaming_rollup_1m(stream: DataFrame, watermark: str = "10 minutes") -> Dat
     )
 
 
+def streaming_sessions(
+    stream: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming inactivity-gap sessionization via Spark's native
+    session_window: a session closes once no turn arrives within `gap`, and
+    finalizes (append mode) when the watermark passes its end. The streaming
+    complement of the batch rollup.with_session_id split — same gap
+    semantics (a turn exactly `gap` after the previous one EXTENDS the
+    session: session_window merges on overlap-or-touch, matching the batch
+    path's strict '>' split).
+
+    State per open session is one merged window + partial aggregates —
+    bounded by active conversations, evicted at the watermark.
+    """
+    return (
+        stream.withColumn("token_count", token_count_col().cast("double"))
+        .withWatermark("ts", watermark)
+        .groupBy("conv_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count("token_count").alias("n_turns"),
+            F.sum("token_count").alias("token_sum"),
+        )
+        .select(
+            "conv_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_turns",
+            "token_sum",
+        )
+    )
+
+
 def run_stream_to_memory(
     stream_agg: DataFrame, query_name: str, checkpoint_dir: str, mode: str = "append"
 ):
