@@ -343,3 +343,20 @@ def test_dedup_components_keep_set(spark, docs):
     # 0, 1, 6 are mutual near-dups in the fixture: one canonical survivor
     assert rows[0]["component_id"] == rows[1]["component_id"] == rows[6]["component_id"] == 0
     assert rows[7]["is_canonical"] and rows[8]["is_canonical"]
+
+
+def test_connected_components_random_graphs_vs_union_find(spark):
+    """Seeded random edge lists (sparse + denser) — the distributed
+    min-label propagation must agree with union-find exactly."""
+    import random
+
+    for seed, n_nodes, n_edges in ((101, 60, 40), (202, 40, 80)):
+        rng = random.Random(seed)
+        pairs = [
+            tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(n_edges)
+        ]
+        df = spark.createDataFrame(pairs, "id_a long, id_b long")
+        got = {r["v"]: r["component_id"] for r in D.connected_components(df).collect()}
+        ids = sorted({x for p in pairs for x in p})
+        want = _uf_components(ids, pairs)
+        assert got == want, (seed, {k: (got[k], want[k]) for k in got if got[k] != want[k]})

@@ -255,3 +255,33 @@ def test_with_session_id_gap_splitting(spark):
     assert _parse_gap_us("2 hours") == 7_200_000_000
     with pytest.raises(ValueError):
         _parse_gap_us("3 fortnights")
+
+
+def test_with_session_id_random_gaps_vs_naive(spark):
+    """Seeded random inter-turn gaps — window-pass session ids must equal a
+    naive sequential fold over the ordered timestamps."""
+    import random
+
+    from transcriptts.rollup import with_session_id
+
+    rng = random.Random(31)
+    base = dt.datetime(2025, 3, 1)
+    rows, naive = [], {}
+    for conv in ("x", "y", "z"):
+        t = base
+        sid = 0
+        prev = None
+        for i in range(40):
+            gap_s = rng.choice([5, 60, 1700, 1800, 1801, 7200])
+            t = t + dt.timedelta(seconds=gap_s)
+            if prev is not None and (t - prev).total_seconds() > 1800:
+                sid += 1
+            naive[(conv, i)] = sid
+            rows.append((conv, i, "u", "t", None, t))
+            prev = t
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {(r["conv_id"], r["turn_idx"]): r["session_id"]
+           for r in with_session_id(df, "30 minutes").collect()}
+    assert got == naive
