@@ -207,3 +207,64 @@ def test_incremental_scan_pushes_ts_filter(spark, tmp_path):
     import re
     assert re.search(r"PushedFilters: \[.*(GreaterThanOrEqual|IsNotNull)\(ts\)", plan), plan
     assert "GreaterThanOrEqual(ts" in plan, plan
+
+
+def test_compact_partitions_merges_append_mode_small_files(spark, tmp_path):
+    """Append-mode writers (raw-turns store, cold archive) accumulate task
+    files per p_date; compact_partitions rewrites oversized partitions to
+    one file each (atomic swap), preserves every row and the text-fidelity
+    fingerprint, and skips already-compact partitions. compact_tier wraps it
+    with a lineage record (the tier layout itself writes 1 file/partition,
+    so it reports a no-op there)."""
+    import os
+
+    from transcriptts.pipeline import RollupPipeline, compact_partitions
+    from transcriptts.store import turns_fingerprint, write_raw_turns
+    from transcriptts.synth import synth_transcripts_arrow
+
+    store = str(tmp_path / "raw")
+    df = spark.createDataFrame(
+        synth_transcripts_arrow(n_convs=20, metronome_turns=60, seed=5).to_pandas()
+    )
+    # two incremental ingests -> >= 2 files per touched p_date
+    write_raw_turns(df, store, num_ranges=3, mode="overwrite")
+    write_raw_turns(df, store, num_ranges=3, mode="append")
+
+    parts = [d for d in os.listdir(store) if d.startswith("p_date=")]
+    n_files = lambda d: len(
+        [f for f in os.listdir(os.path.join(store, d)) if f.endswith(".parquet")]
+    )
+    before = {d: n_files(d) for d in parts}
+    assert all(v >= 2 for v in before.values())
+    rows_before = spark.read.parquet(store).count()
+    fp_before = {
+        r["conv_id"]: r["text_fp"]
+        for r in turns_fingerprint(spark.read.parquet(store)).collect()
+    }
+
+    rep = compact_partitions(spark, store)
+    after = {d: n_files(d) for d in parts}
+    assert all(v == 1 for v in after.values())
+    assert rep["files_before"] == sum(before.values())
+    assert rep["files_after"] == len(parts)
+    assert sorted(rep["compacted"]) == sorted(d.split("=", 1)[1] for d in parts)
+    assert spark.read.parquet(store).count() == rows_before
+    fp_after = {
+        r["conv_id"]: r["text_fp"]
+        for r in turns_fingerprint(spark.read.parquet(store)).collect()
+    }
+    assert fp_after == fp_before
+    # idempotent: second pass is a no-op
+    rep2 = compact_partitions(spark, store)
+    assert rep2["compacted"] == [] and rep2["files_after"] == len(parts)
+
+    # tier layout: pipeline writes are already 1 file per partition -> no-op,
+    # no lineage record
+    root = str(tmp_path / "tiers")
+    pipe = RollupPipeline(spark, root)
+    pipe.run(df, tiers=("1h",))
+    rep3 = pipe.compact_tier("1h")
+    assert rep3["compacted"] == [] and "snapshot_id" not in rep3
+    assert not [
+        f for f in os.listdir(os.path.join(root, "lineage")) if f.startswith("compact-")
+    ]

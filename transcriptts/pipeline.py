@@ -43,6 +43,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -283,6 +284,40 @@ class RollupPipeline:
             raise ValueError(f"unknown tier {tier!r}")
         return self.spark.read.parquet(os.path.join(self.root, f"tier={tier}"))
 
+    def compact_tier(
+        self, tier: str, max_files_per_partition: int = 1, min_files_to_compact: int = 2
+    ) -> dict:
+        """compact_partitions over one tier's layout, with a lineage record.
+
+        The tier pipeline's own writes are already 1 file per p_date
+        (repartition('p_date') before write), so this is a no-op unless a
+        partition was produced by an external writer or an old layout —
+        the append-mode surfaces (raw-turns store, cold archive) are where
+        compaction routinely fires; use compact_partitions directly there.
+        """
+        report = compact_partitions(
+            self.spark,
+            os.path.join(self.root, f"tier={tier}"),
+            max_files_per_partition=max_files_per_partition,
+            min_files_to_compact=min_files_to_compact,
+        )
+        report["tier"] = tier
+        if report["compacted"]:
+            snapshot_id = f"compact-{tier}-{uuid.uuid4().hex[:12]}"
+            lineage = {
+                "snapshot_id": snapshot_id,
+                "tier": tier,
+                "op": "compact",
+                "partitions": report["compacted"],
+                "files_before": report["files_before"],
+                "files_after": report["files_after"],
+            }
+            with open(os.path.join(self.root, "lineage", f"{snapshot_id}.json"), "w") as f:
+                json.dump(lineage, f, indent=2)
+            report["snapshot_id"] = snapshot_id
+        return report
+
+
     def content_hash(self, tier: str) -> str:
         """Order-insensitive logical content hash of a tier (resume tests)."""
         df = self.read_tier(tier).drop("p_date")
@@ -296,3 +331,59 @@ class RollupPipeline:
             ).alias("h")
         ).agg(F.sum(F.conv(F.substring("h", 1, 15), 16, 10).cast("decimal(38,0)")).alias("s"))
         return str(row.collect()[0]["s"])
+
+def compact_partitions(
+    spark: SparkSession,
+    root: str,
+    max_files_per_partition: int = 1,
+    min_files_to_compact: int = 2,
+    partition_prefix: str = "p_date=",
+) -> dict:
+    """Merge small files inside each hive partition of a parquet layout —
+    the small-file problem: append-mode writers (incremental raw-turn
+    ingests, per-expiry archive runs) each leave their own task files, and
+    at 100 TB a scan's task count and listing cost are driven by FILE
+    count, not bytes.
+
+    Per-partition, all-or-nothing: each partition dir with >=
+    `min_files_to_compact` parquet files is rewritten to
+    `max_files_per_partition` files via coalesce into a hidden `.compact-*`
+    temp dir, verified by row count, then atomically swapped (two renames);
+    a crash leaves either the old or the new directory readable, never a
+    mix. Only oversized partitions are touched — O(dirty partitions),
+    never O(table).
+    """
+    if not os.path.isdir(root):
+        return {"compacted": [], "files_before": 0, "files_after": 0}
+
+    def parquet_files(d: str) -> list[str]:
+        return [fn for fn in os.listdir(d) if fn.endswith(".parquet")]
+
+    report: dict = {"compacted": [], "files_before": 0, "files_after": 0}
+    for name in sorted(os.listdir(root)):
+        part_dir = os.path.join(root, name)
+        if not (name.startswith(partition_prefix) and os.path.isdir(part_dir)):
+            continue
+        files = parquet_files(part_dir)
+        report["files_before"] += len(files)
+        if len(files) < max(min_files_to_compact, max_files_per_partition + 1):
+            report["files_after"] += len(files)
+            continue
+        src = spark.read.parquet(part_dir)
+        n_before = src.count()
+        tmp_dir = os.path.join(root, f".compact-{name}-{uuid.uuid4().hex[:8]}")
+        src.coalesce(max_files_per_partition).write.mode("overwrite").parquet(tmp_dir)
+        n_after = spark.read.parquet(tmp_dir).count()
+        if n_after != n_before:  # pragma: no cover - defensive
+            shutil.rmtree(tmp_dir)
+            raise RuntimeError(
+                f"compaction row-count mismatch for {part_dir}: {n_before} -> {n_after}"
+            )
+        old_dir = part_dir + ".old"
+        os.rename(part_dir, old_dir)
+        os.rename(tmp_dir, part_dir)
+        shutil.rmtree(old_dir)
+        report["files_after"] += len(parquet_files(part_dir))
+        report["compacted"].append(name.split("=", 1)[1])
+    return report
+
