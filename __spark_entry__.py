@@ -1425,22 +1425,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # Registration ORDER is load-bearing: the driver's correctness gate checks
+    # a fixed-size window from the front (50 in round 3), so (a) queries that
+    # have never had a green driver row come first, (b) queries whose source
+    # files changed this round come next (their prior green rows no longer
+    # carry), (c) the stable core follows, and (d) redundant variants of
+    # already-green queries over UNCHANGED source files sit at the tail, where
+    # a cap skip costs no evidence (their round-3 rows still stand).
     return {
-        "rollup_1m": _q_rollup("1m"),
-        "rollup_1h": _q_rollup("1h"),
-        "rollup_1d": _q_rollup("1d"),
-        "rollup_1h_hierarchical": _q_rollup_1h_hierarchical,
-        "rollup_1m_salted": _q_rollup_salted,
-        "downsample_k4": _q_downsample,
-        "segment_stats_k8": _q_segment_stats,
-        "gapfill_locf_interp_1h": _q_gapfill,
-        "sessionize_30m": _q_sessionize,
-        "sma_w5": _q_sma,
-        "sma_w5_mirror": _q_sma_mirror,
-        "sma_w5_periodic": _q_sma_periodic,
-        "wma_w3": _q_wma,
-        "ema_a05": _q_ema,
-        "savgol_w5_p2": _q_savgol,
+        # (a) never driver-verified before round 4
+        "media_features": _q_media_features,
+        "media_frame_plan": _q_media_frame_plan,
+        "ann_ivf_topk_arrow": _q_ann_ivf_pandas,
+        "embedding_dedup": _q_embedding_dedup,
+        "series_stats": _q_series_stats,
+        "normalize_zscore": _q_normalize,
+        # (b) source files touched in round 4 (datapipe.py, kernels/costs.py)
+        "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "minhash_lsh_dedup": _q_minhash_dedup,
+        "dedup_components": _q_dedup_components,
+        "cosine_topk": _q_cosine_topk,
+        "simhash_pairs": _q_simhash_pairs,
+        "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
+        "text_stats": _q_text_stats,
+        "quality_score": _q_quality,
+        "lang_id": _q_lang_id,
+        "dedup_exact": _q_dedup_exact,
+        "doc_fingerprint": _q_doc_fingerprint,
         "pelt_l2": _q_pelt,
         "pelt_l2_jump5": _q_pelt_cost("l2", 10.0, jump=5),
         "pelt_l2_multi": _q_pelt_multi,
@@ -1452,36 +1464,35 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pelt_poisson": _q_pelt_poisson,
         "pelt_bernoulli": _q_pelt_bernoulli,
         "pelt_binomial": _q_pelt_binomial,
-        "cusum_z3": _q_cusum,
         "pelt_segment_stats": _q_pelt_segments,
         "penalty_selection_bic": _q_penalty_selection,
         "penalty_selection_aicc": _q_penalty_selection_aicc,
+        # (c) stable core (unchanged files, green in r03)
+        "rollup_1m": _q_rollup("1m"),
+        "rollup_1h": _q_rollup("1h"),
+        "rollup_1d": _q_rollup("1d"),
+        "segment_stats_k8": _q_segment_stats,
+        "gapfill_locf_interp_1h": _q_gapfill,
+        "sessionize_30m": _q_sessionize,
+        "sma_w5": _q_sma,
+        "wma_w3": _q_wma,
+        "ema_a05": _q_ema,
+        "savgol_w5_p2": _q_savgol,
+        "cusum_z3": _q_cusum,
         "ses_forecast_a03": _q_ses,
         "linear_forecast": _q_linear_forecast,
         "holt_forecast": _q_holt,
+        "gorilla_roundtrip_agg": _q_gorilla_roundtrip,
+        "turns_text_fingerprint": _q_turns_text_fingerprint,
+        # (d) tail: variants of green queries over unchanged source files
+        "downsample_k4": _q_downsample,
+        "rollup_1h_hierarchical": _q_rollup_1h_hierarchical,
+        "rollup_1m_salted": _q_rollup_salted,
+        "sma_w5_mirror": _q_sma_mirror,
+        "sma_w5_periodic": _q_sma_periodic,
         "holt_damped_forecast": _q_holt_damped,
         "holt_mul_forecast": _q_holt_mul,
         "holt_opt_forecast": _q_holt_opt,
-        "gorilla_roundtrip_agg": _q_gorilla_roundtrip,
-        "turns_text_fingerprint": _q_turns_text_fingerprint,
-        "text_stats": _q_text_stats,
-        "quality_score": _q_quality,
-        "lang_id": _q_lang_id,
-        "dedup_exact": _q_dedup_exact,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "ngram_jaccard_pairs": _q_jaccard_pairs,
-        "minhash_lsh_dedup": _q_minhash_dedup,
-        "dedup_components": _q_dedup_components,
-        "cosine_topk": _q_cosine_topk,
-        "simhash_pairs": _q_simhash_pairs,
-        "ann_lsh_topk": _q_ann_lsh,
-        "ann_ivf_topk": _q_ann_ivf,
-        "ann_ivf_topk_arrow": _q_ann_ivf_pandas,
-        "embedding_dedup": _q_embedding_dedup,
-        "media_features": _q_media_features,
-        "media_frame_plan": _q_media_frame_plan,
-        "series_stats": _q_series_stats,
-        "normalize_zscore": _q_normalize,
     }
 
 
@@ -1548,6 +1559,4 @@ def oracle_sql() -> dict[str, str]:
         "media_frame_plan": _SQL_MEDIA_FRAME_PLAN,
         "series_stats": _SQL_SERIES_STATS,
         "normalize_zscore": _SQL_NORMALIZE,
-        # media_features / media_frame_plan: binary payloads + sha-derived
-        # stub features — rows-only by design (the only unoracled queries)
     }
