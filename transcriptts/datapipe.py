@@ -172,32 +172,38 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via shingle self-join.
 
-    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|); intersection counted by joining on the
-    shingle, union from per-doc shingle counts. Shingles appearing in more
-    than max_shingle_df docs are dropped before the join (stop-shingle cap —
-    the skew guard; a shingle in d docs creates d^2 join rows).
+    J(A,B) = |A∩B| / (|A|+|B|-|A∩B|); intersection counted by generating
+    in-bucket pairs per shingle, union from per-doc shingle counts. Shingles
+    appearing in more than max_shingle_df docs are dropped before pair
+    generation (stop-shingle cap — the skew guard; a shingle in d docs
+    creates d^2/2 pairs).
 
     Scale shape: per-doc sizes are an EXPRESSION on docs (size of the shingle
-    array — no explode, no shuffle), and the stop-shingle filter is a window
-    count over the exploded frame's own (shingle) partitioning — so the
-    corpus-sized explode is never cached and never joined against an
-    O(corpus) aggregate. No forced broadcasts: the sizes join stays a plain
-    shuffle join and AQE picks broadcast at runtime when a side is small."""
+    array — no explode, no shuffle). The exploded (id, shingle) frame crosses
+    the wire exactly ONCE: groupBy(shingle).collect_list(id) — a self-join
+    formulation would shuffle it twice (Spark does not reuse the exchange
+    across the join's two identically-derived sides) and recompute the
+    explode per side. The stop-shingle cap is then a free `size(ids) <= cap`
+    filter on the grouped frame (no second df-count pass), and pairs are
+    generated NARROWLY from each bucket's sorted id array via
+    posexplode + slice, which bounds per-row memory at O(cap) instead of the
+    O(cap^2) a flatten-of-combinations would allocate. Sorting ids ascending
+    makes id_a < id_b by construction. No forced broadcasts: the sizes join
+    stays a plain shuffle join and AQE picks broadcast at runtime when a
+    side is small."""
     sizes = docs.select(F.col(id_col).alias("id"), F.size(shingle_array(k, text_col)).alias("n_sh"))
     sh = word_shingles(docs, k, text_col, id_col)
-    filtered = (
-        sh.withColumn("sdf", F.count("*").over(Window.partitionBy("shingle")))
-        .where(F.col("sdf") <= max_shingle_df)
-        .drop("sdf")
+    buckets = (
+        sh.groupBy("shingle")
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_shingle_df))
     )
-    a = filtered.select(F.col("id").alias("id_a"), "shingle")
-    b = filtered.select(F.col("id").alias("id_b"), "shingle")
-    inter = (
-        a.join(b, "shingle")
-        .where(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
+    exploded = buckets.select("ids", F.posexplode("ids").alias("pos", "id_a"))
+    pairs = exploded.select(
+        "id_a",
+        F.explode(F.slice("ids", F.col("pos") + 2, F.size("ids"))).alias("id_b"),
     )
+    inter = pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("inter"))
     out = (
         inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
