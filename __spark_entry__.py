@@ -1336,6 +1336,50 @@ FROM (VALUES {vals}) AS v(media_id, kind, payload_bytes, f0)
 # Fully-independent SQL oracle: the synthetic media metadata is regenerated
 # in SQL (same id/kind/n_frames rules as synth_media) and the frame plan is
 # an inclusive generate_series, matching F.sequence's inclusive upper bound.
+def _q_media_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio decode end-to-end: synth_audio writes genuine RIFF/PCM16
+    WAV payloads, audio_features decodes them (stdlib wave + numpy) inside
+    mapInPandas and computes features from the recovered samples. The oracle
+    regenerates the identical waveform in SQL from the md5 sample derivation
+    and recomputes every feature — so a hash match proves the WAV container
+    roundtrip, the Arrow transport, and the feature math all agree."""
+    from transcriptts.multimodal import audio_features, synth_audio
+
+    out = audio_features(synth_audio(spark, n=120, seed=42))
+    return _round6(out, "duration_s", "mean_amp", "rms", "peak")
+
+
+def _sql_media_audio_features(n: int = 120, seed: int = 42) -> str:
+    """Fully-independent oracle: rebuild each clip's int16 samples from the
+    md5 derivation (pure integer hex math — no float parity risk), then
+    compute the features with SQL aggregates + a lag window for zero
+    crossings."""
+    return f"""
+WITH m AS (
+  SELECT i AS media_id, 400 + (i % 5) * 100 AS n_samples
+  FROM unnest(generate_series(0, {n - 1})) AS t(i)
+),
+s AS (
+  SELECT m.media_id, u.t,
+         (('0x' || substr(md5('{seed}:' || m.media_id || ':' || u.t), 1, 4))::int - 32768) / 32768.0 AS v
+  FROM m, unnest(generate_series(0, 799)) AS u(t)
+  WHERE u.t < m.n_samples
+),
+l AS (
+  SELECT media_id, t, v, lag(v) OVER (PARTITION BY media_id ORDER BY t) AS pv FROM s
+)
+SELECT cast(media_id AS BIGINT) AS media_id,
+       count(*) AS n_samples,
+       cast(16000 AS int) AS sample_rate,
+       {_r6('count(*) / 16000.0', 'duration_s')},
+       {_r6('avg(v)', 'mean_amp')},
+       {_r6('sqrt(avg(v * v))', 'rms')},
+       {_r6('max(abs(v))', 'peak')},
+       cast(count(*) FILTER (WHERE pv IS NOT NULL AND (v < 0) <> (pv < 0)) AS BIGINT) AS zero_crossings
+FROM l GROUP BY media_id
+"""
+
+
 _SQL_MEDIA_FRAME_PLAN = """
 WITH m AS (
   SELECT i AS media_id, 300 + i AS n_frames
@@ -1434,6 +1478,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # a cap skip costs no evidence (their round-3 rows still stand).
     return {
         # (a) never driver-verified before round 4
+        "media_audio_features": _q_media_audio_features,
         "media_features": _q_media_features,
         "media_frame_plan": _q_media_frame_plan,
         "ann_ivf_topk_arrow": _q_ann_ivf_pandas,
@@ -1555,6 +1600,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _SQL_ANN_IVF,
         "ann_ivf_topk_arrow": _SQL_ANN_IVF,
         "embedding_dedup": _sql_embedding_dedup(n_planes=6, seed=7, threshold=0.35),
+        "media_audio_features": _sql_media_audio_features(n=120, seed=42),
         "media_features": _sql_media_features(n=120, seed=42),
         "media_frame_plan": _SQL_MEDIA_FRAME_PLAN,
         "series_stats": _SQL_SERIES_STATS,

@@ -287,6 +287,67 @@ def test_multimodal_decoder_seam(spark):
         assert r["feature"][0] == float(r["payload_bytes"])
 
 
+def test_wav_decode_roundtrip_exact(spark):
+    """decode_wav recovers the EXACT int16 samples synth_audio encoded:
+    the real RIFF/PCM16 container roundtrip, not a hash comparison."""
+    import numpy as np
+
+    rows = {r["media_id"]: bytes(r["payload"]) for r in M.synth_audio(spark, n=7).collect()}
+    for mid, payload in rows.items():
+        n = 400 + (mid % 5) * 100
+        expected = M._md5_pcm_samples(mid, n).astype(np.float64) / 32768.0
+        got, sr = M.decode_wav(payload)
+        assert sr == 16000 and len(got) == n
+        np.testing.assert_array_equal(got, expected)
+
+
+def test_wav_decode_stereo_and_guards():
+    import io
+    import wave
+
+    import numpy as np
+
+    pcm = np.array([[1000, 3000], [-2000, -4000], [0, 100]], dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(pcm.tobytes())
+    x, sr = M.decode_wav(buf.getvalue())
+    assert sr == 8000
+    np.testing.assert_allclose(x, pcm.mean(axis=1) / 32768.0)
+    with pytest.raises(NotImplementedError, match="audio"):
+        M.decode_wav(b"...", kind="image")
+
+
+def test_audio_features_match_direct_numpy(spark):
+    """The Spark mapInPandas path agrees with a direct numpy computation on
+    the decoded samples — locks the Arrow transport + schema, and that the
+    features really come from decoded audio."""
+    import numpy as np
+
+    out = {r["media_id"]: r for r in M.audio_features(M.synth_audio(spark, n=10)).collect()}
+    assert len(out) == 10
+    for mid, r in out.items():
+        n = 400 + (mid % 5) * 100
+        x = M._md5_pcm_samples(mid, n).astype(np.float64) / 32768.0
+        assert r["n_samples"] == n and r["sample_rate"] == 16000
+        assert r["duration_s"] == n / 16000.0
+        assert abs(r["mean_amp"] - x.mean()) < 1e-12
+        assert abs(r["rms"] - np.sqrt((x * x).mean())) < 1e-12
+        assert abs(r["peak"] - np.abs(x).max()) < 1e-12
+        assert r["zero_crossings"] == int(np.count_nonzero((x[1:] < 0) != (x[:-1] < 0)))
+
+
+def test_audio_features_filters_non_audio(spark):
+    """Mixed media frames: non-audio rows are dropped JVM-side before the
+    decode UDF ever runs (their payloads would not parse as WAV)."""
+    non_audio = M.synth_media(spark, n=9).where("kind <> 'audio'")
+    mixed = non_audio.union(M.synth_audio(spark, n=4))
+    assert M.audio_features(mixed).count() == 4
+
+
 # --- connected components / dedup groups ---------------------------------------
 
 
