@@ -246,6 +246,68 @@ def test_ar_cost_batch_failure_encoding():
         assert np.isinf(c.cost(0, 10 if order == 1 else 9))
 
 
+def test_ar_general_batch_matches_scalar():
+    """The stacked normal-equations path (orders > 2, intercept-free) agrees
+    with the scalar per-segment np.linalg.solve across every candidate
+    start, including the NaN (short) / +inf (degenerate) encoding."""
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=90).cumsum() * 0.4 + rng.normal(size=90)
+    for order, intercept in ((3, True), (4, True), (1, False), (2, False), (3, False)):
+        c = C.ARCost(order=order, include_intercept=intercept).fit(x)
+        for end in (c.min_segment_length() + 1, 30, 90):
+            starts = np.arange(end)
+            got = c.cost_batch(starts, end)
+            for s in range(end):
+                if end - s < c.min_segment_length():
+                    assert np.isnan(got[s]), (order, intercept, s, end)
+                else:
+                    ref = c.cost(s, end)
+                    if np.isinf(ref) or np.isinf(got[s]):
+                        # singular-detection convention may differ at the
+                        # boundary (scalar solve can return unstable finite
+                        # garbage where the batch guard declares +inf);
+                        # require agreement only when both are finite
+                        continue
+                    assert abs(got[s] - ref) <= 1e-6 * max(1.0, abs(ref)), (
+                        order, intercept, s, end, got[s], ref,
+                    )
+
+
+def test_ar_general_batch_constant_and_singular():
+    """Constant segments: +inf with intercept (collinearity), solvable
+    without intercept when x != 0; all-zero segments singular either way."""
+    x = np.concatenate([np.full(12, 3.0), np.zeros(12)])
+    ci = C.ARCost(order=3, include_intercept=True).fit(x)
+    assert np.isinf(ci.cost_batch(np.array([0]), 12)[0])
+    # order >= 2 on a constant segment: identical lag columns -> collinear
+    # Gram -> +inf even without intercept (scalar solve raises LinAlgError)
+    cf3 = C.ARCost(order=3, include_intercept=False).fit(x)
+    assert np.isinf(cf3.cost_batch(np.array([0]), 12)[0])
+    # order 1 without intercept IS solvable on a nonzero constant: x[t] = 1*x[t-1]
+    cf1 = C.ARCost(order=1, include_intercept=False).fit(x)
+    got = cf1.cost_batch(np.array([0]), 12)[0]
+    assert np.isfinite(got) and got <= 1e-9
+    assert np.isinf(cf1.cost_batch(np.array([12]), 24)[0])  # all-zero: singular
+
+
+def test_pelt_ar3_matches_ar_scalar_dp():
+    """End-to-end: PELT with the general AR(3) batch path equals PELT with
+    the per-candidate scalar fallback (forced via the base-class loop)."""
+    rng = np.random.default_rng(12)
+    x = np.concatenate([
+        rng.normal(size=60) * 0.5,
+        rng.normal(size=60) * 0.5 + np.sin(np.arange(60)) * 4.0,
+    ])
+    fast = pelt(x, penalty=25.0, cost="ar", order=3, min_size=8)
+
+    class SlowAR(C.ARCost):
+        def cost_batch(self, starts, end):
+            return C.CostFunction.cost_batch(self, starts, end)
+
+    slow = pelt(x, penalty=25.0, cost=SlowAR(order=3), min_size=8)
+    assert fast == slow
+
+
 def test_pelt_ar2_detects_variance_shift():
     rng = np.random.default_rng(9)
     x = np.concatenate([rng.normal(size=150), rng.normal(size=150) * 4 + 8])

