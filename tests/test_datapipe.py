@@ -407,8 +407,8 @@ def test_dedup_components_keep_set(spark, docs):
 
 
 def test_connected_components_random_graphs_vs_union_find(spark):
-    """Seeded random edge lists (sparse + denser) — the distributed
-    min-label propagation must agree with union-find exactly."""
+    """Seeded random edge lists (sparse + denser) — BOTH methods (min-label
+    propagation and star contraction) must agree with union-find exactly."""
     import random
 
     for seed, n_nodes, n_edges in ((101, 60, 40), (202, 40, 80)):
@@ -417,7 +417,50 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             tuple(sorted(rng.sample(range(n_nodes), 2))) for _ in range(n_edges)
         ]
         df = spark.createDataFrame(pairs, "id_a long, id_b long")
-        got = {r["v"]: r["component_id"] for r in D.connected_components(df).collect()}
         ids = sorted({x for p in pairs for x in p})
         want = _uf_components(ids, pairs)
-        assert got == want, (seed, {k: (got[k], want[k]) for k in got if got[k] != want[k]})
+        for method in ("minlabel", "star"):
+            got = {
+                r["v"]: r["component_id"]
+                for r in D.connected_components(df, method=method).collect()
+            }
+            assert got == want, (
+                seed, method, {k: (got[k], want[k]) for k in got if got[k] != want[k]},
+            )
+
+
+def test_embedding_dedup_warns_when_cap_binds(spark, caplog):
+    """warn_cap_binding=True logs when the per-vector candidate window
+    fills (SURVEY's documented cap-binding diagnostic)."""
+    import logging
+
+    # 6 identical vectors -> every query's window fills at cap=2
+    rows = [(i, [1.0, 0.0, 0.0]) for i in range(6)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with caplog.at_level(logging.WARNING, logger="transcriptts.datapipe"):
+        out = D.embedding_dedup(
+            emb, threshold=0.9, n_planes=4, dim=3, max_pairs_per_vector=2,
+            warn_cap_binding=True,
+        )
+        n = out.count()
+    assert n > 0
+    assert any("max_pairs_per_vector" in r.message for r in caplog.records)
+    # default: no extra job, no warning
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="transcriptts.datapipe"):
+        D.embedding_dedup(emb, threshold=0.9, n_planes=4, dim=3, max_pairs_per_vector=2).count()
+    assert not caplog.records
+
+
+def test_star_components_adversarial_path(spark):
+    """A 4096-node path graph: min-label needs diameter (4095) rounds and
+    raises at max_iter, while star contraction converges in O(log^2 n)
+    iterations — the documented graceful path for adversarial diameters."""
+    n = 4096
+    pairs = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(pairs, "id_a long, id_b long").coalesce(8)
+    with pytest.raises(RuntimeError, match="did not converge"):
+        D.connected_components(df, max_iter=5)
+    got = D.connected_components(df, max_iter=16, method="star")
+    rows = {r["v"]: r["component_id"] for r in got.collect()}
+    assert len(rows) == n and set(rows.values()) == {0}

@@ -28,8 +28,12 @@ from __future__ import annotations
 
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under PEP 563
 
+import logging
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 # --- tokenization / text stats ------------------------------------------------
 
@@ -685,31 +689,45 @@ def ann_ivf_topk(
 
 
 def connected_components(
-    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+    method: str = "minlabel",
 ) -> DataFrame:
-    """Distributed connected components over a dup-pair edge list by
-    min-label propagation: label(v) starts at v, each round takes the min of
-    a node's label and its neighbors' labels, converging in graph-diameter
-    rounds. Returns (v, component_id) for every node that appears in a pair;
-    component_id = the smallest node id in the component.
+    """Distributed connected components over a dup-pair edge list. Returns
+    (v, component_id) for every node that appears in a pair; component_id =
+    the smallest node id in the component.
 
     This is the last step of a real dedup pipeline: candidate generators
     (minhash_dedup / simhash_pairs / embedding_dedup) emit PAIRS, but the
     keep-set needs transitive groups — a~b and b~c must collapse a,b,c to
     one canonical id even though (a,c) was never emitted.
 
-    Scale shape: each round is ONE shuffle join keyed on node id plus a
-    min-aggregation (map-side partial), and lineage is truncated per round
-    with an eager localCheckpoint so the plan does not grow with rounds.
-    Near-dup clusters have tiny diameters (dup groups are near-cliques from
-    banding), so rounds ~ 2-4 in practice; for adversarial long-path graphs
-    at 10^9+ nodes, swap the propagation body for the two-phase
-    large-star/small-star contraction (Kiveris et al., "Connected Components
-    in MapReduce and Beyond", SoCC'14) which bounds rounds at O(log^2 n) —
-    the surrounding loop, convergence test, and contract stay identical.
-    Labels only ever decrease, so the convergence test (any label strictly
-    smaller than last round's) is exact."""
+    Two methods, same contract:
+
+    - 'minlabel' (default): label(v) starts at v, each round takes the min
+      of a node's label and its neighbors' labels, converging in
+      graph-DIAMETER rounds. Each round is ONE shuffle join keyed on node id
+      plus a min-aggregation (map-side partial). Right for dup graphs, whose
+      clusters are near-cliques from banding (diameter 2-4).
+    - 'star': alternating large-star/small-star contraction (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond", SoCC'14), which
+      REWRITES the edge set each round and converges in O(log^2 n) rounds
+      regardless of diameter — the graceful path for adversarial long-path
+      graphs where min-label would need diameter rounds. Two
+      aggregation+join rounds per iteration over a shrinking edge set.
+
+    Both truncate lineage per round with an eager localCheckpoint so the
+    plan does not grow with rounds. Convergence tests are exact: minlabel
+    labels only ever decrease (stop when none got strictly smaller); star
+    stops when an iteration leaves the canonical edge set unchanged
+    (count match + empty difference, checked with exceptAll)."""
+    if method not in ("minlabel", "star"):
+        raise ValueError("method must be 'minlabel' or 'star'")
     e = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    if method == "star":
+        return _star_components(e, max_iter)
     edges = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).distinct()
     edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("v")).distinct().withColumn("label", F.col("v"))
@@ -721,31 +739,97 @@ def connected_components(
         new_labels = (
             labels.union(prop).groupBy("v").agg(F.min("label").alias("label"))
         ).localCheckpoint(eager=True)
-        shrunk = (
+        shrunk = not (
             new_labels.alias("n")
             .join(labels.alias("o"), "v")
             .where(F.col("n.label") < F.col("o.label"))
-            .limit(1)
-            .count()
+            .isEmpty()
         )
         labels = new_labels
-        if shrunk == 0:
+        if not shrunk:
             return labels.select("v", F.col("label").alias("component_id"))
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds; "
         "the pair graph has a longer path diameter than expected — raise "
-        "max_iter or switch to large-star/small-star contraction"
+        "max_iter or pass method='star' (O(log^2 n) rounds on any diameter)"
+    )
+
+
+def _star_components(e: DataFrame, max_iter: int) -> DataFrame:
+    """Alternating large-star/small-star contraction (Kiveris et al.,
+    SoCC'14). Each phase recomputes, per node u, m = min(neighborhood(u) ∪
+    {u}) and rewires: large-star points every neighbor LARGER than u at m,
+    small-star points every neighbor <= u (and u itself) at m. The edge set
+    monotonically contracts toward a star forest whose centers are the
+    component minima; O(log^2 n) iterations on any graph.
+
+    Scale shape per phase: one groupBy(node).min aggregation (map-side
+    partials) + one join of the edge set against that node-min table —
+    no neighborhood lists are ever materialized (the paper's reduce-side
+    Γ(u) is re-expressed as min-agg + join). Convergence = the canonical
+    (larger, smaller) edge set reaches a fixed point, detected exactly via
+    count equality + an empty exceptAll difference."""
+    # canonical form: src > dst, no self-loops, each undirected edge once
+    edges = (
+        e.where(F.col("src") != F.col("dst"))
+        .select(F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def phase(edges: DataFrame, large: bool) -> DataFrame:
+        sym = edges.union(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        mins = sym.groupBy("src").agg(F.min("dst").alias("mn"))
+        mins = mins.select("src", F.least("mn", F.col("src")).alias("m"))
+        j = sym.join(mins, "src")
+        if large:
+            out = j.where(F.col("dst") > F.col("src")).select(
+                F.col("dst").alias("a"), F.col("m").alias("b")
+            )
+        else:
+            out = j.where(F.col("dst") <= F.col("src")).select(
+                F.col("dst").alias("a"), F.col("m").alias("b")
+            ).union(j.select(F.col("src").alias("a"), F.col("m").alias("b")))
+        return (
+            out.where(F.col("a") != F.col("b"))
+            .select(F.greatest("a", "b").alias("src"), F.least("a", "b").alias("dst"))
+            .distinct()
+        )
+
+    prev_count = edges.count()
+    for _ in range(max_iter):
+        new_edges = phase(phase(edges, large=True), large=False).localCheckpoint(eager=True)
+        new_count = new_edges.count()
+        if new_count == prev_count and new_edges.exceptAll(edges).isEmpty():
+            break
+        edges, prev_count = new_edges, new_count
+    else:
+        raise RuntimeError(f"star contraction did not converge in {max_iter} iterations")
+    # fixed point is a star forest: (non-min node) -> (component min);
+    # centers map to themselves via the left join
+    mapping = edges.select(F.col("src").alias("v"), F.col("dst").alias("component_id"))
+    return nodes.join(mapping, "v", "left").select(
+        "v", F.coalesce("component_id", F.col("v")).alias("component_id")
     )
 
 
 def dedup_components(
     docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 25,
+    method: str = "minlabel",
 ) -> DataFrame:
     """Canonical keep-set from dup pairs: every document labeled with its
     connected component's smallest doc id; is_canonical marks the one doc
     per component that survives dedup (singletons keep themselves)."""
-    comp = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter)
+    comp = connected_components(pairs, id_a=id_a, id_b=id_b, max_iter=max_iter, method=method)
     return (
         docs.select(id_col)
         .join(comp.withColumnRenamed("v", id_col), id_col, "left")
@@ -761,6 +845,7 @@ def embedding_dedup(
     emb: DataFrame, threshold: float = 0.98, n_planes: int = 10, seed: int = 7,
     vec_col: str = "embedding", id_col: str = "vec_id", dim: int | None = None,
     max_pairs_per_vector: int = 50, n_tables: int = 1,
+    warn_cap_binding: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs: LSH-bucketed candidates (near-dups at
     cos >= threshold almost always share all sign bits), exact cosine check.
@@ -771,11 +856,27 @@ def embedding_dedup(
     bounds the per-bucket rank window at scale (a pathological bucket of m
     near-identical vectors would otherwise emit m^2/2 pairs); raise it (or
     pass None semantics via a large value) when exhaustive pair listing
-    matters more than bounded output."""
+    matters more than bounded output. `warn_cap_binding=True` runs ONE extra
+    small aggregate job counting the query vectors whose candidate window
+    filled (rank reached the cap — i.e. the cap may have truncated pairs)
+    and logs a warning when any exist; off by default because it triggers an
+    extra Spark job at call time."""
     ranked = ann_lsh_topk(
         emb, topk=max_pairs_per_vector, n_planes=n_planes, seed=seed,
         vec_col=vec_col, id_col=id_col, dim=dim, n_tables=n_tables,
     )
+    if warn_cap_binding:
+        n_capped = (
+            ranked.where(F.col("rank") == max_pairs_per_vector)
+            .select("qid").distinct().count()
+        )
+        if n_capped:
+            _log.warning(
+                "embedding_dedup: max_pairs_per_vector=%d bound for %d query "
+                "vectors — their near-dup pair lists may be truncated; raise "
+                "the cap for exhaustive listing",
+                max_pairs_per_vector, n_capped,
+            )
     return (
         ranked.where((F.col("cos") >= threshold) & (F.col("qid") < F.col("cid")))
         .select(F.col("qid").alias("id_a"), F.col("cid").alias("id_b"), "cos")
