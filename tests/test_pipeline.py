@@ -268,3 +268,57 @@ def test_compact_partitions_merges_append_mode_small_files(spark, tmp_path):
     assert not [
         f for f in os.listdir(os.path.join(root, "lineage")) if f.startswith("compact-")
     ]
+
+
+def test_compact_partitions_crash_recovery(spark, tmp_path):
+    """Every crash state of the two-rename swap heals on the next run with
+    bit-identical rows: (1) stale .compact-* temp dir, (2) partition
+    stranded at '<part>.old' with no live dir (crash between the renames),
+    (3) both live (new) and .old (crash before cleanup)."""
+    import os
+    import shutil
+
+    from transcriptts.pipeline import compact_partitions
+    from transcriptts.store import turns_fingerprint, write_raw_turns
+    from transcriptts.synth import synth_transcripts_arrow
+
+    store = str(tmp_path / "raw")
+    df = spark.createDataFrame(
+        synth_transcripts_arrow(n_convs=12, metronome_turns=200, seed=9).to_pandas()
+    )
+    write_raw_turns(df, store, num_ranges=2, mode="overwrite")
+    write_raw_turns(df, store, num_ranges=2, mode="append")
+    parts = sorted(d for d in os.listdir(store) if d.startswith("p_date="))
+    assert len(parts) >= 2
+    rows_before = spark.read.parquet(store).count()
+    fp_before = {
+        r["conv_id"]: r["text_fp"]
+        for r in turns_fingerprint(spark.read.parquet(store)).collect()
+    }
+
+    # state 1: a stale temp dir from a run that died mid-write
+    stale_tmp = os.path.join(store, f".compact-{parts[0]}-deadbeef")
+    os.makedirs(stale_tmp)
+    with open(os.path.join(stale_tmp, "part-00000.parquet"), "wb") as f:
+        f.write(b"torn write")
+    # state 2: crash BETWEEN the renames — partition only exists as .old
+    p2 = os.path.join(store, parts[0])
+    os.rename(p2, p2 + ".old")
+    # state 3: crash AFTER the swap, before cleanup — live dir is the new
+    # output, .old still holds the duplicate pre-compaction files
+    p3 = os.path.join(store, parts[1])
+    shutil.copytree(p3, p3 + ".old")
+
+    rep = compact_partitions(spark, store)
+    # all leftovers healed, every oversized partition compacted to one file
+    assert not [d for d in os.listdir(store) if d.endswith(".old") or d.startswith(".compact-")]
+    for d in parts:
+        pq = [f for f in os.listdir(os.path.join(store, d)) if f.endswith(".parquet")]
+        assert len(pq) == 1, (d, pq)
+    assert spark.read.parquet(store).count() == rows_before
+    fp_after = {
+        r["conv_id"]: r["text_fp"]
+        for r in turns_fingerprint(spark.read.parquet(store)).collect()
+    }
+    assert fp_after == fp_before
+    assert sorted(rep["compacted"]) == sorted(d.split("=", 1)[1] for d in parts)

@@ -348,10 +348,26 @@ def compact_partitions(
     Per-partition, all-or-nothing: each partition dir with >=
     `min_files_to_compact` parquet files is rewritten to
     `max_files_per_partition` files via coalesce into a hidden `.compact-*`
-    temp dir, verified by row count, then atomically swapped (two renames);
-    a crash leaves either the old or the new directory readable, never a
-    mix. Only oversized partitions are touched — O(dirty partitions),
-    never O(table).
+    temp dir, verified by row count, then swapped with two renames
+    (`part -> part.old`, `tmp -> part`). The swap is NOT a single atomic
+    operation: a crash can land in three states, all of which the NEXT run
+    heals before scanning — (1) only `.compact-*` temp left: removed
+    (unswapped output is unverified); (2) `part.old` present and the live
+    dir missing (crash between the renames): `.old` renamed back, no data
+    loss; (3) both present (crash before the final cleanup): the live dir
+    is already the verified compacted output, `.old` removed. Rows are
+    bit-identical through every recovery path (crash-injection tests in
+    tests/test_pipeline.py).
+
+    Reader semantics: between the two renames there is a window in which the
+    partition directory does not exist — a concurrent reader that lists at
+    that instant sees the partition absent for the life of that scan.
+    Readers needing strict completeness should not race compaction (run it
+    in a maintenance window, as with any in-place file-level rewrite).
+    Single-writer op: do not run two compactions on the same root
+    concurrently (recovery would mistake the other's live temp dirs for
+    crash leftovers). Only oversized partitions are touched — O(dirty
+    partitions), never O(table).
     """
     if not os.path.isdir(root):
         return {"compacted": [], "files_before": 0, "files_after": 0}
@@ -359,11 +375,27 @@ def compact_partitions(
     def parquet_files(d: str) -> list[str]:
         return [fn for fn in os.listdir(d) if fn.endswith(".parquet")]
 
+    # heal leftovers of a previously-interrupted run (states 1-3 above)
+    for name in sorted(os.listdir(root)):
+        full = os.path.join(root, name)
+        if not os.path.isdir(full):
+            continue
+        if name.startswith(".compact-"):
+            shutil.rmtree(full)
+        elif name.startswith(partition_prefix) and name.endswith(".old"):
+            live = full[: -len(".old")]
+            if os.path.isdir(live):
+                shutil.rmtree(full)
+            else:
+                os.rename(full, live)
+
     report: dict = {"compacted": [], "files_before": 0, "files_after": 0}
     for name in sorted(os.listdir(root)):
         part_dir = os.path.join(root, name)
         if not (name.startswith(partition_prefix) and os.path.isdir(part_dir)):
             continue
+        if name.endswith(".old"):  # unreachable post-recovery; defensive
+            continue  # pragma: no cover
         files = parquet_files(part_dir)
         report["files_before"] += len(files)
         if len(files) < max(min_files_to_compact, max_files_per_partition + 1):
