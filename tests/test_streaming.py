@@ -107,8 +107,94 @@ def test_streaming_cusum_state_across_restarts(spark, tmp_path):
     write(vals2, 3)
     run_once()
     rows = spark.read.parquet(outp).collect()
+    assert all(r["kind"] == "alarm" for r in rows)
     got = sorted((r["conv_id"], r["alarm_idx"], r["turn_idx"]) for r in rows)
     assert got == [("c", i, i) for i in expected]
+
+
+def test_streaming_cusum_cross_batch_reorder_parity(spark, tmp_path):
+    """A turn arriving one micro-batch AHEAD of an earlier in-flight turn is
+    buffered in state and consumed once the gap fills — batch-kernel parity
+    holds under cross-batch disorder (round-3 silently reordered the signal
+    here). A truly late row (behind the consumed position) surfaces as a
+    late_dropped diagnostic instead of vanishing."""
+    from transcriptts.kernels.cusum import cusum
+    from transcriptts.streaming import streaming_cusum
+
+    inp, ck, outp = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    vals = [0.0, 1.2, 1.2, 1.2, -9.0, 0.0]
+    expected = cusum(vals, threshold_factor=3.0)
+    assert expected == [3, 4]
+
+    def write(items):
+        spark.createDataFrame(
+            [("c", t, float(vals[t])) for t in items],
+            "conv_id string, turn_idx long, value double",
+        ).coalesce(1).write.mode("append").parquet(inp)
+
+    def run_once():
+        stream = spark.readStream.schema(
+            "conv_id string, turn_idx long, value double"
+        ).parquet(inp)
+        q = (
+            streaming_cusum(stream, "value", threshold_factor=3.0)
+            .writeStream.format("parquet")
+            .option("path", outp)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    write([0, 1, 3, 4])  # turns 3,4 arrive while 2 is still in flight
+    run_once()
+    write([2, 5])  # the gap fills one batch later
+    run_once()
+    rows = spark.read.parquet(outp).collect()
+    alarms = sorted(
+        (r["alarm_idx"], r["turn_idx"]) for r in rows if r["kind"] == "alarm"
+    )
+    assert alarms == [(i, i) for i in expected]
+    assert not [r for r in rows if r["kind"] != "alarm"]
+
+    # a duplicate of an already-consumed turn is late -> visible diagnostic
+    write([1])
+    run_once()
+    late = [r for r in spark.read.parquet(outp).collect() if r["kind"] == "late_dropped"]
+    assert [(r["alarm_idx"], r["turn_idx"]) for r in late] == [(None, 1)]
+
+
+def test_streaming_cusum_gap_overflow_fast_forwards(spark, tmp_path):
+    """When the reorder buffer exceeds max_pending the open gap is abandoned
+    visibly: a gap_skipped row records how many positions were lost and the
+    detector fast-forwards to the earliest buffered turn."""
+    from transcriptts.streaming import streaming_cusum
+
+    inp, ck, outp = str(tmp_path / "in"), str(tmp_path / "ck"), str(tmp_path / "out")
+    # turn 0 never arrives; turns 1..4 pile past max_pending=2
+    spark.createDataFrame(
+        [("c", t, 1.2) for t in (1, 2, 3, 4)],
+        "conv_id string, turn_idx long, value double",
+    ).coalesce(1).write.mode("append").parquet(inp)
+    stream = spark.readStream.schema(
+        "conv_id string, turn_idx long, value double"
+    ).parquet(inp)
+    q = (
+        streaming_cusum(stream, "value", threshold_factor=3.0, max_pending=2)
+        .writeStream.format("parquet")
+        .option("path", outp)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = spark.read.parquet(outp).collect()
+    skips = [r for r in rows if r["kind"] == "gap_skipped"]
+    assert [(r["alarm_idx"], r["turn_idx"]) for r in skips] == [(1, 1)]  # position 0 lost
+    # after the fast-forward, turns 1..4 were consumed in order (1 primes)
+    assert all(r["kind"] in ("gap_skipped", "alarm") for r in rows)
 
 
 def test_foreach_batch_bridge_runs_full_batch_rollup(spark, tmp_path):

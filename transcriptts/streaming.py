@@ -124,27 +124,39 @@ def streaming_cusum(
     expected_std_dev: float = 1.0,
     slack_factor: float = 0.0,
     threshold_factor: float = 5.0,
+    max_pending: int = 10_000,
 ) -> DataFrame:
     """Custom STATEFUL operator: per-conversation two-sided CUSUM alarms over
     a transcript stream via ``applyInPandasWithState``.
 
     The batch kernel (kernels/cusum.py, CUSUMAlgorithm.cs:60-85) is a
     sequential fold — windowed aggregation cannot express it — so each
-    conversation carries (high, low, n_seen) detector state across
-    micro-batches. Feeding the same turns through any micro-batch split
-    yields exactly ``cusum(concatenated_signal)``: alarm indices are global
-    sample positions, the i=0 sample only primes the state (the kernel's
-    scan starts at i=1), and an accumulation that STRADDLES a batch boundary
+    conversation carries detector state across micro-batches. Feeding the
+    same turns through any micro-batch split yields exactly
+    ``cusum(concatenated_signal)``: alarm indices are global sample
+    positions, the i=0 sample only primes the state (the kernel's scan
+    starts at i=1), and an accumulation that STRADDLES a batch boundary
     still alarms (asserted in tests/test_streaming.py).
 
-    Ordering contract: rows are processed in turn_idx order inside each
-    micro-batch; a row arriving after a later turn_idx has been consumed
-    (turn_idx < n_seen) is late by definition and is dropped — the
-    watermark-analogue for detector state, mirroring streaming_rollup_1m's
-    late-data posture. The batch detector remains the corrector of record.
+    Ordering contract: the detector consumes turns strictly in turn_idx
+    order. Rows within a micro-batch are sorted first; a turn that arrives
+    AHEAD of a still-in-flight earlier turn (turn_idx > next expected) is
+    buffered in state and consumed once the gap fills — so batch-kernel
+    parity holds under ANY cross-batch reordering as long as every turn
+    eventually arrives and no more than `max_pending` turns are buffered
+    per conversation. Disorder is never silent: a truly late row (behind
+    the consumed position) emits a `kind='late_dropped'` diagnostic row,
+    and a buffer overflow abandons the gap — fast-forwarding to the
+    earliest buffered turn — with a `kind='gap_skipped'` row whose
+    alarm_idx carries the number of skipped positions. Alarm rows have
+    `kind='alarm'`; filter on it downstream. The batch detector remains the
+    corrector of record.
 
-    Scale shape: state is 3 scalars per conversation (no sample buffering),
-    grouped by conv_id — the same parallelism unit as every batch kernel.
+    Scale shape: steady-state is 3 scalars + an empty buffer per
+    conversation; the buffer only grows while a gap is open and is bounded
+    by `max_pending` (0 disables buffering: gap rows consume immediately,
+    visibly skipping the missing positions via gap_skipped rows).
+    Grouped by conv_id — the same parallelism unit as every batch kernel.
     """
     if expected_std_dev <= 0:
         raise ValueError("expected_std_dev must be positive")
@@ -152,9 +164,12 @@ def streaming_cusum(
         raise ValueError("threshold_factor must be positive")
     if slack_factor < 0:
         raise ValueError("slack_factor must be non-negative")
+    if max_pending < 0:
+        raise ValueError("max_pending must be non-negative")
 
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
     from pyspark.sql.types import (
+        ArrayType,
         DoubleType,
         LongType,
         StringType,
@@ -167,6 +182,7 @@ def streaming_cusum(
             StructField("conv_id", StringType()),
             StructField("alarm_idx", LongType()),
             StructField("turn_idx", LongType()),
+            StructField("kind", StringType()),
         ]
     )
     state_schema = StructType(
@@ -174,6 +190,10 @@ def streaming_cusum(
             StructField("high", DoubleType()),
             StructField("low", DoubleType()),
             StructField("n_seen", LongType()),
+            StructField("pend_t", ArrayType(LongType())),
+            StructField("pend_v", ArrayType(DoubleType())),
+            StructField("n_late", LongType()),
+            StructField("n_skipped", LongType()),
         ]
     )
     threshold = threshold_factor * expected_std_dev
@@ -182,27 +202,56 @@ def streaming_cusum(
     def fn(key, pdf_iter, state: GroupState):
         import pandas as pd
 
-        high, low, n_seen = state.get if state.exists else (0.0, 0.0, 0)
-        alarms: list[tuple[int, int]] = []
+        if state.exists:
+            high, low, n_seen, pend_t, pend_v, n_late, n_skipped = state.get
+            pending = dict(zip(pend_t or (), pend_v or ()))
+        else:
+            high, low, n_seen, pending, n_late, n_skipped = 0.0, 0.0, 0, {}, 0, 0
+        out: list[tuple[int | None, int, str]] = []
+
+        def consume(tidx: int, v: float):
+            nonlocal high, low, n_seen
+            i = n_seen
+            n_seen += 1
+            if i == 0:
+                return  # kernel scan starts at i=1
+            high = max(0.0, high + float(v) - expected_mean - slack)
+            low = min(0.0, low + float(v) - expected_mean + slack)
+            if high > threshold or low < -threshold:
+                out.append((i, int(tidx), "alarm"))
+                high = 0.0
+                low = 0.0
+
+        def drain():
+            while n_seen in pending:
+                consume(n_seen, pending.pop(n_seen))
+
         for pdf in pdf_iter:
             pdf = pdf.sort_values("turn_idx")
             for tidx, v in zip(pdf["turn_idx"].to_numpy(), pdf[value_col].to_numpy()):
+                tidx = int(tidx)
                 if tidx < n_seen:
-                    continue  # late arrival: detector state has moved past it
-                i = n_seen
-                n_seen += 1
-                if i == 0:
-                    continue  # kernel scan starts at i=1
-                high = max(0.0, high + float(v) - expected_mean - slack)
-                low = min(0.0, low + float(v) - expected_mean + slack)
-                if high > threshold or low < -threshold:
-                    alarms.append((i, int(tidx)))
-                    high = 0.0
-                    low = 0.0
-        state.update((high, low, n_seen))
+                    n_late += 1
+                    out.append((None, tidx, "late_dropped"))
+                elif tidx == n_seen:
+                    consume(tidx, float(v))
+                    drain()
+                else:
+                    pending[tidx] = float(v)
+                    if len(pending) > max_pending:
+                        # abandon the open gap: fast-forward to the earliest
+                        # buffered turn; positions [n_seen, nxt) are lost
+                        nxt = min(pending)
+                        n_skipped += nxt - n_seen
+                        out.append((nxt - n_seen, nxt, "gap_skipped"))
+                        n_seen = nxt
+                        drain()
+        state.update(
+            (high, low, n_seen, list(pending.keys()), list(pending.values()), n_late, n_skipped)
+        )
         yield pd.DataFrame(
-            [(key[0], a, t) for a, t in alarms],
-            columns=["conv_id", "alarm_idx", "turn_idx"],
+            [(key[0], a, t, k) for a, t, k in out],
+            columns=["conv_id", "alarm_idx", "turn_idx", "kind"],
         )
 
     return stream.groupBy("conv_id").applyInPandasWithState(
