@@ -117,6 +117,58 @@ def test_melt_unmelt_roundtrip(spark, pipeline):
     assert a == b
 
 
+def test_null_stats_roundtrip_as_null(spark, pipeline):
+    """NULL stat values (percentile_mode='approx' coarse tiers) must come
+    back NULL, not NaN: melt drops NULL points and the unmelt pivot restores
+    the absence as NULL."""
+    tier = pipeline.read_tier("1d").drop("p_date")
+    # null out percentiles on a deterministic subset
+    tier = tier.withColumn(
+        "p50", F.when(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, F.col("p50"))
+    ).withColumn(
+        "p99", F.when(F.pmod(F.xxhash64("conv_id"), F.lit(2)) == 0, F.col("p99"))
+    )
+    assert tier.where(F.col("p50").isNull()).count() > 0
+    melted = melt_stats(tier)
+    assert melted.where(F.col("value").isNull()).count() == 0
+    back = unmelt_stats(melted)
+    cols = ["conv_id", "metric", "bucket_start", *STAT_COLS]
+    a = {tuple(r[c] for c in cols) for r in tier.select(*cols).collect()}
+    b = {tuple(r[c] for c in cols) for r in back.select(*cols).collect()}
+    assert a == b  # NULLs restored as NULLs, never NaN
+
+
+def test_archive_report_counts_only_this_run(spark, pipeline, tmp_path):
+    """A crash-retry re-archive appends duplicate blobs for the same
+    p_dates; the report must count only the current run's output, and
+    restore must still dedupe to the newest copy."""
+    import time as _time
+
+    from transcriptts.retention import archive_partitions, restore_archive
+
+    arch = str(tmp_path / "cold")
+    dates = _p_dates(pipeline, "1d")[:1]
+    before = {
+        tuple(r[c] for c in ("conv_id", "metric", "bucket_start", *STAT_COLS))
+        for r in pipeline.read_tier("1d")
+        .where(F.col("p_date").cast("string").isin(dates))
+        .select("conv_id", "metric", "bucket_start", *STAT_COLS)
+        .collect()
+    }
+    rep1 = archive_partitions(pipeline, "1d", dates, arch)
+    _time.sleep(0.002)  # distinct run stamp
+    rep2 = archive_partitions(pipeline, "1d", dates, arch)  # simulated retry
+    assert rep2["chunks"] == rep1["chunks"]
+    assert rep2["points"] == rep1["points"]
+    assert rep2["enc_bytes"] == rep1["enc_bytes"]
+    restored = restore_archive(pipeline, arch, "1d")
+    got = {
+        tuple(r[c] for c in ("conv_id", "metric", "bucket_start", *STAT_COLS))
+        for r in restored.select("conv_id", "metric", "bucket_start", *STAT_COLS).collect()
+    }
+    assert got == before  # newest-blob dedup: no duplicated rows
+
+
 def test_archive_scan_is_partition_pruned(spark, pipeline, tmp_path):
     """The expiring-partition scan must prune on p_date (O(dropped), not
     O(table)): the parquet source's partition filters carry the isin."""

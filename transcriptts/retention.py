@@ -81,16 +81,27 @@ def melt_stats(tier_df: DataFrame, stats: tuple[str, ...] = STAT_COLS) -> DataFr
     One `stack` projection (zero shuffle); the composite metric key keeps
     each stat a separate compressible series without widening the blob
     schema. `cnt` is a bigint but < 2^53, so the double round-trip is exact.
-    """
+
+    NULL stat values (e.g. the NULL coarse percentiles a
+    percentile_mode='approx' hierarchical tier can carry) are DROPPED here
+    rather than encoded: Gorilla packs IEEE doubles, so a NULL would come
+    back as NaN. An absent point pivots back to NULL in unmelt_stats, which
+    keeps the roundtrip exact for nullable stats too (a bucket always keeps
+    at least its cnt point — counts are never NULL — so no bucket ever
+    disappears entirely)."""
     n = len(stats)
     pairs = ", ".join(f"'{s}', cast(`{s}` as double)" for s in stats)
-    return tier_df.selectExpr(
-        "conv_id", "metric", "bucket_start", f"stack({n}, {pairs}) as (stat, value)"
-    ).select(
-        "conv_id",
-        F.concat_ws(":", "metric", "stat").alias("metric"),
-        "bucket_start",
-        "value",
+    return (
+        tier_df.selectExpr(
+            "conv_id", "metric", "bucket_start", f"stack({n}, {pairs}) as (stat, value)"
+        )
+        .where(F.col("value").isNotNull())
+        .select(
+            "conv_id",
+            F.concat_ws(":", "metric", "stat").alias("metric"),
+            "bucket_start",
+            "value",
+        )
     )
 
 
@@ -128,15 +139,21 @@ def archive_partitions(
     deduplicates on (conv_id, metric, chunk) taking the newest blob.
     """
     src = pipeline.read_tier(tier).where(F.col("p_date").cast("string").isin(p_dates))
+    run_stamp = int(time.time() * 1000)
     blobs = compress_series(
         melt_stats(src), value_col="value", ts_col="bucket_start", chunk_seconds=chunk_seconds
     ).withColumn("p_date", F.to_date("ts_min")).withColumn(
-        "archived_at_ms", F.lit(int(time.time() * 1000))
+        "archived_at_ms", F.lit(run_stamp)
     )
     out_path = os.path.join(archive_root, f"tier={tier}")
     blobs.write.mode("append").partitionBy("p_date").parquet(out_path)
+    # report THIS run's output only: the re-read is p_date-pruned and then
+    # filtered to this run's stamp, so a crash-retry re-archive (which
+    # appends duplicate blobs for the same p_dates) cannot double-count
+    # chunks/points/bytes in the report
     written = pipeline.spark.read.parquet(out_path).where(
         F.col("p_date").cast("string").isin(p_dates)
+        & (F.col("archived_at_ms") == run_stamp)
     )
     stats = written.agg(
         F.count("*").alias("chunks"),
