@@ -122,6 +122,11 @@ def main() -> None:
         "--no-pin", action="store_true",
         help="disable CPU affinity pinning (default: each leg is pinned to "
         "exactly its core count, the faithful N-core-executor substitution)")
+    ap.add_argument(
+        "--out", default=os.path.join("BENCH", "BASELINE.md"),
+        help="report path relative to the repo root (use a different file for "
+        "auxiliary datapoints, e.g. a larger-input run, so the headline "
+        "BASELINE.md is not overwritten)")
     args = ap.parse_args()
 
     zip_path = "/tmp/transcriptts.zip"
@@ -215,8 +220,24 @@ def main() -> None:
         f"| {r['efficiency']:.3f} |"
         for r in rounds
     )
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+
+    def pass_detail(leg: dict, cores: int) -> str:
+        # wall@load for every timed pass: post-pass 1-min load minus the
+        # leg's own pinned cores ~ external tenant load DURING the pass
+        walls = leg.get("wall_sec_all", [])
+        posts = leg.get("load1_post_all", ["?"] * len(walls))
+        return ", ".join(
+            f"{w}s@{(round(p - cores, 1) if isinstance(p, (int, float)) else p)}"
+            for w, p in zip(walls, posts)
+        )
+
+    detail_rows = "\n".join(
+        f"| {r['round']} | {pass_detail(r['low'], args.low)} | {pass_detail(r['high'], args.high)} |"
+        for r in rounds
+    )
+    out_path = os.path.join(REPO, args.out)
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — measured numbers
 
@@ -259,6 +280,14 @@ Each leg records the load it actually saw (pre-run 1-min load).
 Best observed throughput: {lo['turns_per_sec']:,} turns/s at
 local[{args.low}], {hi['turns_per_sec']:,} turns/s at local[{args.high}].
 
+**Per-pass detail** (wall@external-load; external load = post-pass 1-min
+loadavg minus the leg's own pinned cores — attributes slow passes to tenant
+bursts instead of averaging them away):
+
+| round | local[{args.low}] passes | local[{args.high}] passes |
+|---|---|---|
+{detail_rows}
+
 'turns/sec' = input turns x 3 tiers / wall seconds — the rolled-up-turns
 throughput metric from BASELINE.json. Reproduce with
 `python scripts/run_scaling.py --turns {args.turns} --low {args.low} --high {args.high}`.
@@ -284,7 +313,7 @@ is therefore the driver-defined throughput metric above plus per-query
 timings recorded in BENCH_r{{N}}.json by the round driver (bench.py).
 """
         )
-    print("wrote BENCH/BASELINE.md", file=sys.stderr)
+    print(f"wrote {args.out}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -115,10 +116,16 @@ def main(argv=None) -> int:
         # timed passes measure steady-state throughput at both core counts
         run_tiers()
         walls = []
+        loads_pre, loads_post = [], []
         for _ in range(max(args.passes, 1)):
+            # per-pass 1-min load BEFORE and AFTER: external tenant bursts on
+            # this shared box hit individual passes, so per-leg load alone
+            # cannot attribute a slow pass — these columns can
+            loads_pre.append(round(os.getloadavg()[0], 2))
             t0 = time.time()
             run_tiers()
             walls.append(round(time.time() - t0, 3))
+            loads_post.append(round(os.getloadavg()[0], 2))
         wall = min(walls)
         # median is the fair cross-leg estimator when legs run different
         # pass counts (equal wall-clock exposure): the min of more samples
@@ -134,6 +141,8 @@ def main(argv=None) -> int:
                     "wall_sec": wall,
                     "wall_sec_median": round(wall_med, 3),
                     "wall_sec_all": walls,
+                    "load1_pre_all": loads_pre,
+                    "load1_post_all": loads_post,
                     "turns_per_sec": round(n_turns * 3 / wall, 1),
                     "turns_per_sec_median": round(n_turns * 3 / wall_med, 1),
                     "cores": cores,
