@@ -1506,6 +1506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pelt_gaussian": _q_pelt_cost("gaussian", 10.0),
         "pelt_ar1": _q_pelt_cost("ar", 10.0, order=1),
         "pelt_ar2": _q_pelt_cost("ar", 10.0, order=2),
+        "pelt_ar3": _q_pelt_cost("ar", 10.0, order=3),
         "pelt_poisson": _q_pelt_poisson,
         "pelt_bernoulli": _q_pelt_bernoulli,
         "pelt_binomial": _q_pelt_binomial,
@@ -1578,6 +1579,9 @@ def oracle_sql() -> dict[str, str]:
         "pelt_ar1": _oracles.pelt_ar1_sql(_T_SQL, 10.0, 3),
         # min_size 5 = the kernel's eff_min for AR(2)-with-intercept
         "pelt_ar2": _oracles.pelt_ar2_sql(_T_SQL, 10.0, 5),
+        # min_size 7 = eff_min for AR(3)-with-intercept; exercises the
+        # general stacked AR path (costs.py _batch_general) end-to-end
+        "pelt_ar3": _oracles.pelt_ar3_sql(_T_SQL, 10.0, 7),
         "pelt_poisson": _oracles.pelt_poisson_sql(_T_SQL, 20.0, 3),
         "pelt_bernoulli": _oracles.pelt_bernoulli_sql(_T_SQL, 2.0, 3),
         "pelt_binomial": _oracles.pelt_binomial_sql(_T_SQL, 1.0, 3),

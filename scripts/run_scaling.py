@@ -59,6 +59,19 @@ def spark_submit(
         # ratio measures parallel speedup, not a partitioning change.
         # (shuffle=cores cripples BOTH levels: 2-4x slower than 128.)
         "--conf", f"spark.sql.shuffle.partitions={shuffle_partitions}",
+        # Pin the decomposition for real: AQE's partition coalescing shrinks
+        # small shuffles to a handful of reduce tasks (advisory 64MB), which
+        # starves the wide leg — measured: the approx-percentile job (smaller
+        # shuffle payload) ran SLOWER at 8 cores than the exact job because
+        # its 32 reduce partitions coalesced to fewer waves than cores. Both
+        # legs must run the declared partition count.
+        "--conf", "spark.sql.adaptive.coalescePartitions.enabled=false",
+        # The scan stage must also have enough splits: the pre-generated
+        # input is ~600MB in ~8MB files, so the default 128MB
+        # maxPartitionBytes packs it into ~5 scan tasks — 3+ idle cores on
+        # the wide leg through the whole (CPU-heavy) tokenize+exchange-write
+        # phase. 16MB -> ~40 splits at both levels.
+        "--conf", "spark.sql.files.maxPartitionBytes=16m",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
         "--conf", "spark.driver.memory=64g",
@@ -123,11 +136,23 @@ def main() -> None:
         help="disable CPU affinity pinning (default: each leg is pinned to "
         "exactly its core count, the faithful N-core-executor substitution)")
     ap.add_argument(
+        "--shuffle-partitions", type=int, default=None,
+        help="shuffle partition count used IDENTICALLY by both legs "
+        "(default: 4x the high core count). The wide leg runs "
+        "partitions/cores task waves; too few waves -> straggler tail idle "
+        "dominates the wide leg and reads as poor scaling")
+    ap.add_argument(
+        "--percentile-mode", choices=("exact", "approx"), default="exact",
+        help="rollup percentile path: exact (reference-parity interpolating "
+        "percentiles, default) or approx (mergeable sketches — the 100-TB "
+        "configuration; far less allocation/bus traffic per bucket)")
+    ap.add_argument(
         "--out", default=os.path.join("BENCH", "BASELINE.md"),
         help="report path relative to the repo root (use a different file for "
         "auxiliary datapoints, e.g. a larger-input run, so the headline "
         "BASELINE.md is not overwritten)")
     args = ap.parse_args()
+    shuffle_parts = args.shuffle_partitions or 4 * args.high
 
     zip_path = "/tmp/transcriptts.zip"
     make_zip(zip_path)
@@ -160,8 +185,9 @@ def main() -> None:
             pre_load = load1()
             r = spark_submit(
                 f"local[{cores}]", zip_path,
-                ["bench", "--input", data_path, "--passes", str(n_passes)],
-                4 * args.high,
+                ["bench", "--input", data_path, "--passes", str(n_passes),
+                 "--percentile-mode", args.percentile_mode],
+                shuffle_parts,
                 pin_cpus=0 if args.no_pin else cores,
             )
             r["ext_load_pre"] = round(pre_load, 2)
@@ -245,11 +271,12 @@ def main() -> None:
 
 Sandbox substitution for a real cluster (per task brief): the same tiered
 rollup job (1m/1h/1d continuous aggregates over {lo['turns']:,} synthetic
-transcript turns, fully materialized via noop sink) run via
+transcript turns, percentile_mode={args.percentile_mode}, fully
+materialized via noop sink) run via
 `spark-submit --py-files /tmp/transcriptts.zip` at two parallelism levels
 (N={args.low} and 4N={args.high} cores) on the same pre-generated parquet
 input, with an IDENTICAL work decomposition (shuffle partitions fixed at
-{4 * args.high} for both levels).
+{shuffle_parts} for both levels).
 
 {pin_note}
 

@@ -47,6 +47,11 @@ def main(argv=None) -> int:
         "host has noisy-neighbor variance up to 2x — min ~= quiet-host time)",
     )
     p_bench.add_argument("--persist-derived", action="store_true")
+    p_bench.add_argument(
+        "--percentile-mode", choices=("exact", "approx"), default="exact",
+        help="exact = interpolating percentiles (reference parity, default); "
+        "approx = mergeable Greenwald-Khanna sketches — the documented 100-TB "
+        "configuration (map-side partials MERGE, no per-bucket sorted buffers)")
 
     args = ap.parse_args(argv)
 
@@ -101,7 +106,11 @@ def main(argv=None) -> int:
             # can fill the idle slots of one job's straggler wave / planning
             # gap with another job's tasks — dead time that otherwise grows
             # with core count and erodes measured scaling efficiency
-            tiers = rollup_tiers(df, persist_derived=args.persist_derived)
+            tiers = rollup_tiers(
+                df,
+                persist_derived=args.persist_derived,
+                percentile_mode=args.percentile_mode,
+            )
             with ThreadPoolExecutor(max_workers=len(tiers)) as ex:
                 futs = [
                     ex.submit(lambda t=t: t.write.format("noop").mode("overwrite").save())

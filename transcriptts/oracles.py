@@ -624,6 +624,146 @@ costt AS (SELECT conv_id, t, list(c ORDER BY sp) AS row_costs FROM pairs GROUP B
     return pelt_sql(t_sql, sig, "", penalty, min_size, pairs_cte=pairs)
 
 
+def pelt_ar3_sql(t_sql: str, penalty: float = 10.0, min_size: int = 7) -> str:
+    """ARCost order=3 — the general stacked path (kernels/costs.py
+    _batch_general): centered (covariance-form) 3x3 normal equations from
+    fourteen prefix moments, solved here by explicit Cramer adjugate. The
+    kernel solves the SAME centered system by pivot-free Gaussian
+    elimination (_solve_stack); the two are algebraically identical and any
+    last-ulp float divergence is absorbed by the DP fold's
+    PELT_TIE_EPSILON banding, exactly as for the libm differences the other
+    cost oracles document. The relative singularity guard maps the kernel's
+    |det| <= 1e-12 * max(|c11*c22*c33|, 1e-300) (Hadamard diagonal bound);
+    an exactly-zero leading pivot implies a zero row/column of the centered
+    Gram, which zeroes det in BOTH formulations, so the guard outcomes
+    agree. min_size must be >= AR(3)-with-intercept min_segment_length = 7
+    (max(p+1, 2p+1)), matching the kernel's eff_min.
+
+    Index maps (1-indexed SQL lists; sp = kernel start, t = kernel end):
+    ps/ps2 carry a prepended 0; pzy/pz2y/pz3y are the cumulative lag-1/2/3
+    cross-product lists where kernel pg_d[a] = SQL list[a+d]. Then
+      Sy  = ps[t+1]-ps[sp+4]   S1 = ps[t]-ps[sp+3]   S2 = ps[t-1]-ps[sp+2]
+      S3  = ps[t-2]-ps[sp+1]   G11 = ps2[t]-ps2[sp+3] (etc. down the lags)
+      S1y = pzy[t]-pzy[sp+3]   G12 = pzy[t-1]-pzy[sp+2] G23 = pzy[t-2]-pzy[sp+1]
+      S2y = pz2y[t]-pz2y[sp+3] G13 = pz2y[t-1]-pz2y[sp+2]
+      S3y = pz3y[t]-pz3y[sp+3]"""
+    if min_size < 7:
+        raise ValueError("AR(3)-with-intercept needs min_size >= 7")
+    sig = (
+        ZSCORE_CTE
+        + f""",
+lagp AS (
+  SELECT conv_id, turn_idx, v,
+         lag(v) OVER wlag * v AS zy,
+         lag(v, 2) OVER wlag * v AS z2y,
+         lag(v, 3) OVER wlag * v AS z3y
+  FROM zs
+  WINDOW wlag AS (PARTITION BY conv_id ORDER BY turn_idx)
+),
+sacc AS (
+  SELECT conv_id, turn_idx, v,
+         sum(v) OVER wacc AS sv, sum(v * v) OVER wacc AS sv2,
+         sum(coalesce(zy, 0.0)) OVER wacc AS szy,
+         sum(coalesce(z2y, 0.0)) OVER wacc AS sz2y,
+         sum(coalesce(z3y, 0.0)) OVER wacc AS sz3y
+  FROM lagp
+  WINDOW wacc AS (PARTITION BY conv_id ORDER BY turn_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+slist AS (
+  SELECT conv_id, list(v ORDER BY turn_idx) AS vs,
+         list(sv ORDER BY turn_idx) AS pst, list(sv2 ORDER BY turn_idx) AS pst2,
+         list(szy ORDER BY turn_idx) AS pzyt,
+         list(sz2y ORDER BY turn_idx) AS pz2yt,
+         list(sz3y ORDER BY turn_idx) AS pz3yt
+  FROM sacc GROUP BY conv_id
+),
+st AS (
+  SELECT conv_id, len(vs) AS n, vs,
+         list_prepend(0.0::DOUBLE, pst) AS ps,
+         list_prepend(0.0::DOUBLE, pst2) AS ps2,
+         pzyt AS pzy, pz2yt AS pz2y, pz3yt AS pz3y
+  FROM slist WHERE len(vs) >= {2 * min_size}
+)
+"""
+    )
+    pairs = f"""
+mom AS (
+  SELECT conv_id, t, sp, (t - sp - 3)::DOUBLE AS n_eq,
+         (ps[t + 1] - ps[sp + 4]) AS sy,
+         (ps[t] - ps[sp + 3]) AS s1,
+         (ps[t - 1] - ps[sp + 2]) AS s2,
+         (ps[t - 2] - ps[sp + 1]) AS s3,
+         (ps2[t + 1] - ps2[sp + 4]) AS sy2,
+         (ps2[t] - ps2[sp + 3]) AS g11,
+         (ps2[t - 1] - ps2[sp + 2]) AS g22,
+         (ps2[t - 2] - ps2[sp + 1]) AS g33,
+         (pzy[t] - pzy[sp + 3]) AS s1y,
+         (pzy[t - 1] - pzy[sp + 2]) AS g12,
+         (pzy[t - 2] - pzy[sp + 1]) AS g23,
+         (pz2y[t] - pz2y[sp + 3]) AS s2y,
+         (pz2y[t - 1] - pz2y[sp + 2]) AS g13,
+         (pz3y[t] - pz3y[sp + 3]) AS s3y,
+         vs[sp + 1] AS seg0,
+         list_aggregate(vs[sp + 1 : t], 'max')::DOUBLE AS segmax,
+         list_aggregate(vs[sp + 1 : t], 'min')::DOUBLE AS segmin
+  FROM st,
+       unnest(generate_series({min_size}, n)) AS ut(t),
+       unnest(generate_series(0, t - {min_size})) AS us(sp)
+),
+ctr AS (
+  SELECT conv_id, t, sp, seg0, segmax, segmin,
+         (g11 - s1 * s1 / n_eq) AS c11, (g22 - s2 * s2 / n_eq) AS c22,
+         (g33 - s3 * s3 / n_eq) AS c33,
+         (g12 - s1 * s2 / n_eq) AS c12, (g13 - s1 * s3 / n_eq) AS c13,
+         (g23 - s2 * s3 / n_eq) AS c23,
+         (s1y - s1 * sy / n_eq) AS c1y, (s2y - s2 * sy / n_eq) AS c2y,
+         (s3y - s3 * sy / n_eq) AS c3y,
+         (sy2 - sy * sy / n_eq) AS cyy
+  FROM mom
+),
+sol AS (
+  SELECT conv_id, t, sp, seg0, segmax, segmin,
+         c11, c22, c33, c12, c13, c23, c1y, c2y, c3y, cyy,
+         CASE WHEN abs(  c11 * (c22 * c33 - c23 * c23)
+                       - c12 * (c12 * c33 - c23 * c13)
+                       + c13 * (c12 * c23 - c22 * c13))
+                   <= 1e-12 * greatest(abs(c11 * c22 * c33), 1e-300)
+              THEN 0.0
+              ELSE   c11 * (c22 * c33 - c23 * c23)
+                   - c12 * (c12 * c33 - c23 * c13)
+                   + c13 * (c12 * c23 - c22 * c13) END AS det
+  FROM ctr
+),
+cram AS (
+  SELECT conv_id, t, sp, seg0, segmax, segmin, c1y, c2y, c3y, cyy, det,
+         (  c1y * (c22 * c33 - c23 * c23)
+          - c12 * (c2y * c33 - c23 * c3y)
+          + c13 * (c2y * c23 - c22 * c3y)) / det AS a1,
+         (  c11 * (c2y * c33 - c3y * c23)
+          - c1y * (c12 * c33 - c13 * c23)
+          + c13 * (c12 * c3y - c2y * c13)) / det AS a2,
+         (  c11 * (c22 * c3y - c23 * c2y)
+          - c12 * (c12 * c3y - c13 * c2y)
+          + c1y * (c12 * c23 - c22 * c13)) / det AS a3
+  FROM sol
+),
+pairs AS (
+  SELECT conv_id, t, sp,
+         CASE WHEN (abs(segmax - seg0) <= 1e-9 AND abs(seg0 - segmin) <= 1e-9)
+                   OR det = 0.0
+              THEN 'infinity'::DOUBLE
+              WHEN NOT coalesce(isfinite(cyy - a1 * c1y - a2 * c2y - a3 * c3y), FALSE)
+              THEN 'infinity'::DOUBLE
+              ELSE greatest(cyy - a1 * c1y - a2 * c2y - a3 * c3y, 0.0)
+         END AS c
+  FROM cram
+),
+costt AS (SELECT conv_id, t, list(c ORDER BY sp) AS row_costs FROM pairs GROUP BY conv_id, t)
+"""
+    return pelt_sql(t_sql, sig, "", penalty, min_size, pairs_cte=pairs)
+
+
 def pelt_rbf_sql(t_sql: str, penalty: float = 2.0, min_size: int = 3) -> str:
     """RBFCost (kernels/costs.py:141-185): gamma = 1/median(strict upper-
     triangle squared distances), K = exp(-clip(d*gamma, 1e-2, 1e2)) with
