@@ -8,7 +8,8 @@ the task brief). Each level runs in its own spark-submit process with
 yields one efficiency ratio; the reported figure is the median over rounds
 (the host's noisy neighbors make unpaired comparisons a lottery).
 
-Writes BENCH/BASELINE.md and prints one JSON line.
+Writes the report to --out (default BENCH/BASELINE.md) and prints one JSON
+line.
 
 Usage: python scripts/run_scaling.py [--turns 16000000] [--rounds 5] [--passes 1]
 """

@@ -267,6 +267,23 @@ def test_jaccard_plan_has_no_cache_and_expression_sizes(docs):
     assert "InMemoryTableScan" not in plan and "InMemoryRelation" not in plan
 
 
+def test_jaccard_plan_single_corpus_exchange(docs):
+    """Round-4 shape: the exploded (id, shingle) frame crosses the wire
+    exactly once (groupBy-collect buckets + narrow posexplode pair
+    generation) — a self-join formulation shuffles it twice. Pin the plan:
+    exactly ONE exchange keyed on the shingle column (the only corpus-sized
+    frame; the sizes-join exchanges carry tiny per-pair rows) and the
+    posexplode pair path present."""
+    import re
+
+    plan = (
+        D.jaccard_pairs(docs, k=3, threshold=0.3)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning\(shingle", plan)) == 1, plan[:2000]
+    assert "posexplode" in plan
+
+
 def test_multimodal_decoder_seam(spark):
     """A real decoder plugs in through the public `decoder=` parameter —
     no reaching into module privates — and its outputs flow through the
