@@ -1539,6 +1539,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_damped_forecast": _q_holt_damped,
         "holt_mul_forecast": _q_holt_mul,
         "holt_opt_forecast": _q_holt_opt,
+        "pelt_ar1_noint": _q_pelt_cost("ar", 10.0, order=1, include_intercept=False),
     }
 
 
@@ -1577,6 +1578,7 @@ def oracle_sql() -> dict[str, str]:
         "pelt_rbf": _oracles.pelt_rbf_sql(_T_SQL, 2.0, 3),
         "pelt_gaussian": _oracles.pelt_gaussian_sql(_T_SQL, 10.0, 3),
         "pelt_ar1": _oracles.pelt_ar1_sql(_T_SQL, 10.0, 3),
+        "pelt_ar1_noint": _oracles.pelt_ar1_nointercept_sql(_T_SQL, 10.0, 3),
         # min_size 5 = the kernel's eff_min for AR(2)-with-intercept
         "pelt_ar2": _oracles.pelt_ar2_sql(_T_SQL, 10.0, 5),
         # min_size 7 = eff_min for AR(3)-with-intercept; exercises the

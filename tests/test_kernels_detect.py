@@ -327,3 +327,63 @@ def test_pelt_multivariate_l2_sums_dimensions():
     # 1-row 2D lift == 1D (reference Detect_SimpleSignal 2D variant)
     sig = np.array([1.0, 1, 1, 5, 5, 5, 1, 1, 1])
     assert pelt(sig[None, :], penalty=2.0, cost="l2") == pelt(sig, penalty=2.0, cost="l2") == [3, 6]
+
+
+def test_pelt_ar1_nointercept_oracle_parity():
+    """The intercept-free AR(1) DuckDB oracle (oracles.pelt_ar1_nointercept_sql)
+    replays the kernel DP exactly: randomized piecewise signals including
+    CONSTANT segments, which are +inf under the intercept model's collinearity
+    guard but a legitimate zero-RSS fit without intercept — the case that
+    distinguishes the two oracles."""
+    import duckdb
+    import pandas as pd
+
+    from transcriptts.oracles import pelt_ar1_nointercept_sql
+
+    t_sql = """
+t AS (
+  SELECT cast(user_id AS varchar) AS conv_id,
+         cast(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS int) AS turn_idx,
+         event_type AS role, props AS text, event_type AS tool, ts, value
+  FROM events
+)
+"""
+    for seed, pen in [(1, 2.0), (3, 1.0)]:
+        rng = np.random.default_rng(seed)
+        rows = []
+        for uid in range(40):
+            segs = []
+            for _ in range(int(rng.integers(1, 5))):
+                n = int(rng.integers(4, 40))
+                kind = rng.integers(0, 4)
+                if kind == 0:
+                    segs.append(np.full(n, float(rng.normal(0, 2))))
+                elif kind == 1:
+                    phi = rng.uniform(-0.9, 0.9)
+                    v = np.zeros(n)
+                    for i in range(1, n):
+                        v[i] = phi * v[i - 1] + rng.normal()
+                    segs.append(v + rng.normal(0, 2))
+                elif kind == 2:
+                    segs.append(rng.normal(rng.normal(0, 3), rng.uniform(0.2, 2), n))
+                else:
+                    segs.append(np.linspace(0, rng.normal(0, 5), n))
+            for i, v in enumerate(np.concatenate(segs)):
+                rows.append((uid, float(i), i, "msg", "p", float(v)))
+        df = pd.DataFrame(
+            rows, columns=["user_id", "ts", "event_id", "event_type", "props", "value"]
+        )
+        con = duckdb.connect()
+        con.register("events", df)
+        oracle = con.execute(pelt_ar1_nointercept_sql(t_sql, pen, 3)).df()
+        expected = set()
+        for uid, g in df.groupby("user_id"):
+            v = g.sort_values(["ts", "event_id"])["value"].to_numpy(float)
+            sd = v.std()
+            z = (v - v.mean()) / sd if sd > 0 else np.zeros_like(v)
+            for b in pelt(z, penalty=pen, cost="ar", min_size=3, order=1, include_intercept=False):
+                expected.add((str(uid), int(b)))
+        got = set(
+            map(tuple, oracle[["conv_id", "breakpoint_idx"]].itertuples(index=False))
+        )
+        assert got == expected and len(got) > 30, (seed, pen, len(got))

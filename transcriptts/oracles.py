@@ -441,11 +441,12 @@ costt AS (SELECT conv_id, t, list(c ORDER BY sp) AS row_costs FROM pairs GROUP B
     )
 
 
-def pelt_ar1_sql(t_sql: str, penalty: float = 10.0, min_size: int = 3) -> str:
-    """ARCost order=1 closed form (kernels/costs.py:455-501): 2x2 Cramer solve
-    of the lagged-pair normal equations from five prefix moments, with the
-    scalar path's constant-segment and singular-system guards mapped to +inf."""
-    sig = (
+def _ar1_sig_cte(min_size: int) -> str:
+    """Shared AR(1) prefix-moment CTE chain (values, squares, lag-1 cross
+    products as 1-indexed lists with a prepended 0 for ps/ps2; pzy[i] = sum
+    of the first i-1 lagged products, so pzy[1] = 0) — consumed by both the
+    with-intercept and the intercept-free AR(1) oracles."""
+    return (
         ZSCORE_CTE
         + f""",
 lagp AS (
@@ -476,6 +477,13 @@ st AS (
 )
 """
     )
+
+
+def pelt_ar1_sql(t_sql: str, penalty: float = 10.0, min_size: int = 3) -> str:
+    """ARCost order=1 closed form (kernels/costs.py:455-501): 2x2 Cramer solve
+    of the lagged-pair normal equations from five prefix moments, with the
+    scalar path's constant-segment and singular-system guards mapped to +inf."""
+    sig = _ar1_sig_cte(min_size)
     # kernel index map (0-based ps/pzy -> 1-indexed SQL lists):
     #   Sy  = ps[end] - ps[s+1]    -> ps[t+1]  - ps[sp+2]
     #   Sz  = ps[end-1] - ps[s]    -> ps[t]    - ps[sp+1]
@@ -509,6 +517,57 @@ pairs AS (
               THEN 'infinity'::DOUBLE
               ELSE greatest(sy2 + a0 * a0 * n_eq + a1 * a1 * sz2
                             - 2.0 * a0 * sy - 2.0 * a1 * szy + 2.0 * a0 * a1 * sz, 0.0)
+         END AS c
+  FROM sol
+),
+costt AS (SELECT conv_id, t, list(c ORDER BY sp) AS row_costs FROM pairs GROUP BY conv_id, t)
+"""
+    return pelt_sql(t_sql, sig, "", penalty, min_size, pairs_cte=pairs)
+
+
+def pelt_ar1_nointercept_sql(t_sql: str, penalty: float = 10.0, min_size: int = 3) -> str:
+    """ARCost order=1 WITHOUT intercept — the stacked general path
+    (kernels/costs.py _batch_general with include_intercept=False; reference
+    ARCostFunction.cs:297-350 builds the design matrix without the ones
+    column when the intercept is disabled): raw (uncentered) 1x1 normal
+    equation a1 = Szy/Sz2, RSS = Syy - Szy^2/Sz2, from the same three prefix
+    moments as the with-intercept AR(1) oracle. Guard mapping is exact:
+    - singularity: |det| <= 1e-12 * max(|diagprod|, 1e-300) with
+      det = diagprod = Sz2 for p=1, which only fires at Sz2 ~ 0 — written
+      literally below so the twins stay in lockstep if the bound changes;
+    - NO constant-segment guard: the allclose collinearity check applies
+      only to intercept models (kernels/costs.py:774-775); a constant
+      nonzero segment is a legitimate intercept-free fit (a1 = 1, RSS = 0);
+    - non-finite RSS -> +inf; negative float residue clamps to 0.
+    min_segment_length = max(p+1, 2p) = 2 <= min_size, so the kernel's
+    short->NaN encoding never surfaces in DP space."""
+    sig = _ar1_sig_cte(min_size)
+    # index map (t = kernel segment end, sp = start; rows i in [sp+1, t)):
+    #   Syy = ps2[t+1] - ps2[sp+2]   (sum y^2   over regression rows)
+    #   Sz2 = ps2[t]   - ps2[sp+1]   (sum z^2,  z = lag-1 value)
+    #   Szy = pzy[t]   - pzy[sp+1]   (sum z*y)
+    pairs = f"""
+mom AS (
+  SELECT conv_id, t, sp,
+         (ps2[t + 1] - ps2[sp + 2]) AS sy2,
+         (ps2[t] - ps2[sp + 1]) AS sz2,
+         (pzy[t] - pzy[sp + 1]) AS szy
+  FROM st,
+       unnest(generate_series({min_size}, n)) AS ut(t),
+       unnest(generate_series(0, t - {min_size})) AS us(sp)
+),
+sol AS (
+  SELECT conv_id, t, sp, sy2, szy,
+         CASE WHEN abs(sz2) <= 1e-12 * greatest(abs(sz2), 1e-300)
+              THEN 0.0 ELSE sz2 END AS det
+  FROM mom
+),
+pairs AS (
+  SELECT conv_id, t, sp,
+         CASE WHEN det = 0.0 THEN 'infinity'::DOUBLE
+              WHEN NOT coalesce(isfinite(sy2 - (szy * szy) / det), FALSE)
+              THEN 'infinity'::DOUBLE
+              ELSE greatest(sy2 - (szy * szy) / det, 0.0)
          END AS c
   FROM sol
 ),
