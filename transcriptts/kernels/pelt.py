@@ -109,6 +109,67 @@ def pelt_segment(
     return CP
 
 
+def pelt_segment_grid(
+    cost_fn: CostFunction, n: int, penalties: np.ndarray, min_size: int = 1
+) -> np.ndarray:
+    """DP for a whole penalty grid at once; returns CP of shape (P, n+1).
+
+    Bit-identical to running `pelt_segment` once per penalty with jump=1
+    (asserted by tests/test_pelt_grid.py) but ~P× fewer Python-loop
+    iterations: the segment costs cost(s, t) do not depend on the penalty,
+    so each endpoint t does ONE `cost_batch` gather over the full candidate
+    range 0..t-min_size shared by every penalty, and the per-penalty state
+    (F, pruning set) advances as 2-D vector ops over a (P, ·) axis. The
+    pruned candidate sets differ per penalty (pruning compares against
+    F[t], which embeds the penalty), so they are kept as a boolean mask
+    rather than index lists — evaluating the recurrence at penalty-pruned s
+    is wasted arithmetic but masked out, a good trade below ~10^3 points
+    where the per-call numpy overhead dominates the extra flops.
+
+    Only jump == 1 is supported (the hop quirk at :258-266 makes the
+    eligible set depend on per-penalty admissibility; callers fall back to
+    the scalar loop for jump > 1).
+    """
+    pens = np.asarray(penalties, dtype=np.float64)
+    P = pens.shape[0]
+    F = np.full((P, n + 1), np.inf)
+    F[:, 0] = -pens
+    CP = np.zeros((P, n + 1), dtype=np.int64)
+    # admissible mask; indices 1..min_size-1 never join (mirrors adm = {0})
+    R = np.zeros((P, n + 1), dtype=bool)
+    R[:, 0] = True
+
+    for t in range(min_size, n + 1):
+        r = t - min_size
+        starts = np.arange(r + 1, dtype=np.int64)
+        costs = cost_fn.cost_batch(starts, t)  # (r+1,), NaN = cost failure
+        nan_cost = np.isnan(costs)
+        Fm = F[:, : r + 1]
+        Rm = R[:, : r + 1]
+
+        cand = Fm + costs[np.newaxis, :] + pens[:, np.newaxis]
+        cand = np.where(Rm & ~nan_cost[np.newaxis, :], cand, np.inf)
+        cand = np.where(np.isnan(cand), np.inf, cand)
+        vmin = cand.min(axis=1)
+        finite = np.isfinite(vmin)
+        # ties within PELT_TIE_EPSILON → largest prev, like the scalar scan
+        tied = cand <= (vmin[:, np.newaxis] + PELT_TIE_EPSILON)
+        best_cp = r - np.argmax(tied[:, ::-1], axis=1)
+        F[:, t] = np.where(finite, vmin, np.inf)
+        CP[:, t] = np.where(finite, best_cp, -1)
+
+        # pruning over the mature range; NaN-cost candidates survive while
+        # F[s] is finite (conservative keep, as in the scalar loop)
+        keep = np.where(
+            nan_cost[np.newaxis, :],
+            np.isfinite(Fm),
+            Fm + costs[np.newaxis, :] <= F[:, t, np.newaxis] + PELT_TIE_EPSILON,
+        )
+        Rm &= keep
+        R[:, t] = np.isfinite(F[:, t])  # t joins the set when reachable
+    return CP
+
+
 def extract_breakpoints(CP: np.ndarray, n: int) -> list[int]:
     """Backtrack CP[] from n; breakpoints exclude 0 and n (:349-383)."""
     bps: list[int] = []
@@ -268,11 +329,20 @@ def select_penalty(
     if max_penalty <= min_penalty:
         max_penalty = min_penalty + max(1.0, abs(min_penalty * 0.1) + 0.1)
 
+    penalties = _log_spaced_penalties(min_penalty, max_penalty, max(2, num_steps))
+    degenerate = n < eff_min or n < eff_min * 2
+    CP_grid = None
+    if not degenerate and jump <= 1:
+        # one stacked DP for the whole grid (segment costs are shared)
+        CP_grid = pelt_segment_grid(cost_fn, n, np.asarray(penalties), eff_min)
+
     best_score, best_penalty, best_bps = np.inf, -1.0, []
     diagnostics = []
-    for penalty in _log_spaced_penalties(min_penalty, max_penalty, max(2, num_steps)):
-        if n < eff_min or n < eff_min * 2:
+    for pi, penalty in enumerate(penalties):
+        if degenerate:
             bps = []
+        elif CP_grid is not None:
+            bps = extract_breakpoints(CP_grid[pi], n)
         else:
             CP = pelt_segment(cost_fn, n, penalty, eff_min, jump)
             bps = extract_breakpoints(CP, n)
