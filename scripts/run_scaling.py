@@ -39,7 +39,7 @@ def make_zip(path: str) -> None:
 
 def spark_submit(
     master: str, zip_path: str, cli_args: list[str], shuffle_partitions: int,
-    pin_cpus: int = 0, pretouch: bool = True,
+    pin_cpus: int = 0, pretouch: bool = True, heap_gb: int = 24,
 ) -> dict:
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
     cmd = []
@@ -75,11 +75,17 @@ def spark_submit(
         "--conf", "spark.sql.files.maxPartitionBytes=16m",
         "--conf", "spark.ui.enabled=false",
         "--conf", "spark.ui.showConsoleProgress=false",
-        # 24g fixed heap (not 64g): the 24M exact job peaks well under it,
-        # and with AlwaysPreTouch the whole heap is faulted at startup — at
-        # this box's fault rate 64g cost ~9 min per JVM start on the pinned
-        # 2-core leg, 24g is ~3 min, both untimed.
-        "--conf", "spark.driver.memory=24g",
+        # Heap scales WITH the leg's core count (3g/core by default): the
+        # substitution is "same per-executor resources, 4x executors", so
+        # per-core memory must be EQUAL across legs — Spark's per-task
+        # memory share (unified memory / concurrent tasks) then matches.
+        # A fixed heap for both legs hands the narrow leg 4x the per-core
+        # memory a real 2-core executor would own, and (measured) a big
+        # pretouched heap actively TAXES a 2-core leg: 24M exact low legs
+        # ran ~230s with a 24g heap vs ~173s with a right-sized one —
+        # GC/TLB work over a 24g committed heap on 2 cores. Sizing note:
+        # the 24M exact job peaks well under 6g at 2 concurrent tasks.
+        "--conf", f"spark.driver.memory={heap_gb}g",
     ]
     if pretouch:
         # Commit + fault the whole heap at startup (untimed) instead of
@@ -88,11 +94,10 @@ def spark_submit(
         # and poorly parallel, so lazy heap growth taxes the WIDE leg ~4x
         # harder (it faults fresh pages 4x faster) — measured on the 24M
         # exact job, same window: 8-core leg median 80.0s lazy vs 65.1s
-        # pretouched (-19%), 2-core leg flat (185.6s vs 194.2s, within
-        # noise). Real clusters run -XX:+AlwaysPreTouch for the same reason;
-        # both legs get it.
+        # pretouched (-19%). Real clusters run -XX:+AlwaysPreTouch for the
+        # same reason; both legs get it.
         cmd += ["--conf",
-                "spark.driver.extraJavaOptions=-Xms24g -XX:+AlwaysPreTouch"]
+                f"spark.driver.extraJavaOptions=-Xms{heap_gb}g -XX:+AlwaysPreTouch"]
     cmd += [
         # shuffle spill dir on tmpfs: the sandbox's root disk serializes
         # concurrent shuffle writes (~25% wall at 32 cores); a real cluster
@@ -152,9 +157,16 @@ def main() -> None:
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument(
         "--no-pretouch", action="store_true",
-        help="disable -Xms24g -XX:+AlwaysPreTouch on both legs (default on: "
-        "commit+fault the heap during untimed startup; lazy heap growth "
+        help="disable -Xms<heap> -XX:+AlwaysPreTouch on both legs (default "
+        "on: commit+fault the heap during untimed startup; lazy heap growth "
         "taxes the wide leg ~4x harder on this box's slow page faults)")
+    ap.add_argument(
+        "--heap-per-core", type=int, default=3,
+        help="JVM heap GB per core for each leg (heap scales with the leg's "
+        "core count — equal per-core memory is the faithful 'same "
+        "per-executor resources, 4x executors' substitution; a fixed heap "
+        "hands the narrow leg 4x the per-core memory and measurably taxes "
+        "it when pretouched)")
     ap.add_argument(
         "--no-pin", action="store_true",
         help="disable CPU affinity pinning (default: each leg is pinned to "
@@ -214,6 +226,7 @@ def main() -> None:
                 shuffle_parts,
                 pin_cpus=0 if args.no_pin else cores,
                 pretouch=not args.no_pretouch,
+                heap_gb=args.heap_per_core * cores,
             )
             r["ext_load_pre"] = round(pre_load, 2)
             r["ext_load_post"] = round(load1() - cores, 2)
@@ -271,13 +284,20 @@ def main() -> None:
         )
     else:
         jvm_note = (
-            "Both legs run a fixed fully-pretouched heap (`-Xms24g -Xmx24g -XX:+AlwaysPreTouch`, the standard "
-            "production setting): the heap is committed and faulted during "
+            f"Each leg runs a fully-pretouched heap sized to its core count "
+            f"({args.heap_per_core}g/core: {args.heap_per_core * args.low}g "
+            f"at local[{args.low}], {args.heap_per_core * args.high}g at "
+            f"local[{args.high}]; `-Xms=-Xmx -XX:+AlwaysPreTouch`, the "
+            "standard production setting): equal per-core memory is the "
+            "faithful 'same per-executor resources, 4x executors' "
+            "substitution, and the heap is committed and faulted during "
             "untimed JVM startup. This sandbox's first-touch page faults are "
             "slow and kernel-side (poorly parallel), so lazy heap growth "
             "taxes the wide leg ~4x harder — it faults fresh pages 4x "
-            "faster. Measured on the 24M exact job, same quiet window: "
-            "8-core leg median 80.0s lazy vs 65.1s pretouched (-19%)."
+            "faster (measured on the 24M exact job: 8-core leg median 80.0s "
+            "lazy vs 65.1s pretouched, -19%) — while an OVERSIZED pretouched "
+            "heap taxes the narrow leg (~230s vs ~173s low legs at 24M with "
+            "a fixed 24g heap on 2 cores)."
         )
     round_rows = "\n".join(
         f"| {r['round']} | {r['low']['wall_sec_median']} | {r['high']['wall_sec_median']} "
