@@ -1507,6 +1507,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pelt_ar1": _q_pelt_cost("ar", 10.0, order=1),
         "pelt_ar2": _q_pelt_cost("ar", 10.0, order=2),
         "pelt_ar3": _q_pelt_cost("ar", 10.0, order=3),
+        "pelt_ar1_noint": _q_pelt_cost("ar", 10.0, order=1, include_intercept=False),
         "pelt_poisson": _q_pelt_poisson,
         "pelt_bernoulli": _q_pelt_bernoulli,
         "pelt_binomial": _q_pelt_binomial,
@@ -1526,11 +1527,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "savgol_w5_p2": _q_savgol,
         "cusum_z3": _q_cusum,
         "ses_forecast_a03": _q_ses,
-        "linear_forecast": _q_linear_forecast,
         "holt_forecast": _q_holt,
         "gorilla_roundtrip_agg": _q_gorilla_roundtrip,
         "turns_text_fingerprint": _q_turns_text_fingerprint,
         # (d) tail: variants of green queries over unchanged source files
+        "linear_forecast": _q_linear_forecast,
         "downsample_k4": _q_downsample,
         "rollup_1h_hierarchical": _q_rollup_1h_hierarchical,
         "rollup_1m_salted": _q_rollup_salted,
@@ -1539,7 +1540,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "holt_damped_forecast": _q_holt_damped,
         "holt_mul_forecast": _q_holt_mul,
         "holt_opt_forecast": _q_holt_opt,
-        "pelt_ar1_noint": _q_pelt_cost("ar", 10.0, order=1, include_intercept=False),
     }
 
 
