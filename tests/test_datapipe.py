@@ -446,9 +446,24 @@ def test_connected_components_random_graphs_vs_union_find(spark):
             )
 
 
+def _await_log(caplog, needle: str, timeout: float = 15.0) -> bool:
+    """Poll caplog for a record containing `needle` — cap-binding warnings
+    arrive from the Observation daemon thread shortly AFTER the action."""
+    import time
+
+    deadline = time.monotonic() + timeout
+    while time.monotonic() < deadline:
+        if any(needle in r.getMessage() for r in caplog.records):
+            return True
+        time.sleep(0.05)
+    return False
+
+
 def test_embedding_dedup_warns_when_cap_binds(spark, caplog):
-    """warn_cap_binding=True logs when the per-vector candidate window
-    fills (SURVEY's documented cap-binding diagnostic)."""
+    """warn_cap_binding=True logs when the per-vector candidate window fills
+    (SURVEY's documented cap-binding diagnostic). Round-5: the count rides a
+    free Observation on the main job — the warning lands asynchronously just
+    after the first action, with NO extra Spark job."""
     import logging
 
     # 6 identical vectors -> every query's window fills at cap=2
@@ -460,13 +475,89 @@ def test_embedding_dedup_warns_when_cap_binds(spark, caplog):
             warn_cap_binding=True,
         )
         n = out.count()
-    assert n > 0
-    assert any("max_pairs_per_vector" in r.message for r in caplog.records)
+        assert n > 0
+        assert _await_log(caplog, "max_pairs_per_vector")
     # default: no extra job, no warning
     caplog.clear()
     with caplog.at_level(logging.WARNING, logger="transcriptts.datapipe"):
         D.embedding_dedup(emb, threshold=0.9, n_planes=4, dim=3, max_pairs_per_vector=2).count()
-    assert not caplog.records
+        assert not _await_log(caplog, "max_pairs_per_vector", timeout=1.0)
+
+
+def test_lsh_bucket_cap_bounds_degenerate_corpus(spark, caplog):
+    """Round-5 (VERDICT #1): 10^4 identical docs — every band hashes every
+    doc into ONE bucket, so uncapped banding would emit ~5*10^7 candidate
+    pairs per band. With max_bucket_size the output is bounded by n*cap,
+    the job completes fast, and the cap-binding diagnostic fires."""
+    import logging
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same boilerplate banner text repeated across the corpus").alias("text"),
+    )
+    sigs = D.minhash_signatures(docs, num_hashes=16, k=3)
+    with caplog.at_level(logging.WARNING, logger="transcriptts.datapipe"):
+        pairs = D.lsh_candidate_pairs(
+            sigs, bands=4, sig_len=16, max_bucket_size=8, warn_cap_binding=True
+        )
+        n_pairs = pairs.count()
+        assert 0 < n_pairs <= n * 8  # sorted-adjacency band, not d^2/2
+        assert _await_log(caplog, "max_bucket_size")
+
+
+def test_lsh_capped_bucket_stays_connected(spark):
+    """Cap semantics: an oversized bucket degrades to a sorted-adjacency band
+    that keeps the whole duplicate cluster ONE connected component — so
+    transitive dedup still groups it (the reason the cap is a band, not a
+    drop-the-bucket filter like jaccard's stop-shingle cap)."""
+    docs = spark.range(50).select(
+        F.col("id").alias("doc_id"), F.lit("identical duplicate document body here").alias("text")
+    )
+    sigs = D.minhash_signatures(docs, num_hashes=16, k=3)
+    pairs = D.lsh_candidate_pairs(sigs, bands=2, sig_len=16, max_bucket_size=3)
+    comp = D.connected_components(pairs, method="star")
+    groups = {r["component_id"] for r in comp.collect()}
+    assert len(groups) == 1  # all 50 ids in one component despite the cap
+
+
+def test_lsh_banding_plan_single_exchange_ids_only(spark):
+    """Round-5 plan pin (VERDICT #1/#2): candidate generation is the
+    jaccard_pairs shape — the banded frame crosses the wire ONCE
+    (groupBy(band,bucket) + collect_list; a self-join would exchange it
+    twice), pair generation is narrow posexplode, and the distinct
+    aggregates bare (id_a, id_b) only."""
+    import re
+
+    rows = [(i, f"document number {i} with some shared tokens {i % 7}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = D.minhash_signatures(docs, num_hashes=16, k=3)
+    plan = (
+        D.lsh_candidate_pairs(sigs, bands=4, sig_len=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert len(re.findall(r"Exchange hashpartitioning\(band", plan)) == 1, plan[:2000]
+    assert "posexplode" in plan
+    assert re.search(r"keys=\[id_a#\d+L?, id_b#\d+L?\]", plan), plan[:2000]
+
+
+def test_ann_lsh_plan_vectors_travel_once(spark):
+    """Round-5 plan pin (VERDICT #2): ann_lsh_topk's OR-amplification dedup
+    exchanges bare id pairs, not vector-carrying rows — the bucket grouping
+    is the only exchange keyed on (tbl, bucket), and the distinct's
+    aggregate keys are exactly [id_a, id_b]."""
+    import re
+
+    rng = np.random.default_rng(11)
+    rows = [(i, rng.standard_normal(16).tolist()) for i in range(60)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    df = D.ann_lsh_topk(emb, topk=3, n_planes=4, dim=16, n_tables=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning\(tbl", plan)) == 1, plan[:2000]
+    assert re.search(r"keys=\[id_a#\d+L?, id_b#\d+L?\]", plan), plan[:2000]
+    # and the rewrite preserves exactness within buckets: ranked output sane
+    got = df.collect()
+    assert got and all(r["rank"] <= 3 for r in got)
 
 
 def test_star_components_adversarial_path(spark):

@@ -29,8 +29,9 @@ from __future__ import annotations
 import pandas as pd  # noqa: F401 — resolves pandas_udf type hints under PEP 563
 
 import logging
+import threading
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 _log = logging.getLogger(__name__)
@@ -249,14 +250,115 @@ def minhash_signatures(
     return grouped.select("id", sig.alias("sig"))
 
 
-def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, sig_len: int | None = None) -> DataFrame:
+#: Default per-bucket neighbour cap for LSH candidate generation. Buckets of
+#: size <= cap + 1 emit exactly the all-pairs banding semantics; larger ones
+#: degrade to a sorted-adjacency band (see _capped_bucket_pairs).
+LSH_BUCKET_CAP = 1024
+
+
+def _warn_when_positive(obs: "Observation", metric: str, message: str, *fmt_args) -> None:
+    """Log `message` (with *fmt_args + the metric value) once `obs` resolves
+    with a positive value for `metric`.
+
+    The wait runs in a daemon thread blocking on Observation.get, which
+    resolves when the FIRST action on the observed DataFrame completes — so
+    the diagnostic costs ZERO extra Spark jobs (a separate .count() would
+    re-run candidate generation). If the frame is never executed the thread
+    parks forever; it is a daemon, so it dies with the process."""
+
+    def _wait() -> None:
+        try:
+            val = obs.get[metric]
+        except Exception:  # pragma: no cover — interpreter/session teardown races
+            return
+        if val:
+            _log.warning(message, *fmt_args, val)
+
+    threading.Thread(target=_wait, daemon=True, name="transcriptts-obs-warn").start()
+
+
+def _capped_bucket_pairs(
+    tagged: DataFrame,
+    key_cols: list[str],
+    max_bucket_size: int,
+    warn_cap_binding: bool = False,
+    warn_label: str = "LSH bucket",
+    directed: bool = False,
+) -> DataFrame:
+    """Ordered (id_a < id_b) candidate pairs within each bucket, bounded.
+
+    Single-exchange shape (the proven `jaccard_pairs` pattern): groupBy on the
+    bucket keys + sorted collect_list replaces a bucket self-join — ONE
+    corpus-wide exchange instead of two — and pair generation is narrow
+    (posexplode + slice, O(cap) per-row memory, no shuffle).
+
+    CAP SEMANTICS: each id pairs with at most `max_bucket_size` of its
+    successors in the bucket's sorted id order. A bucket of size
+    <= max_bucket_size + 1 emits ALL in-bucket pairs (exact banding
+    semantics). An oversized bucket — e.g. 10^4 copies of the same
+    boilerplate, the NORM in web training corpora — degrades to a
+    sorted-adjacency band: output is O(d * cap) instead of O(d^2 / 2), and
+    the band keeps every id transitively connected to the whole bucket (ids
+    at sorted positions i and i+1 always pair), so connected-components
+    dedup still groups the entire duplicate cluster.
+
+    `directed=True` additionally emits each id's PREDECESSOR band (both
+    directions per pair), still from the single explode — for top-k style
+    consumers where every id is a query; no plan-duplicating union.
+
+    `warn_cap_binding=True` attaches a free Observation counting oversized
+    buckets and logs a warning when the cap bound (no extra job; the metric
+    piggybacks on the caller's first action)."""
+    grouped = (
+        tagged.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list("id")).alias("ids"))
+        .where(F.size("ids") >= 2)
+    )
+    if warn_cap_binding:
+        obs = Observation()
+        grouped = grouped.observe(
+            obs, F.sum((F.size("ids") > max_bucket_size + 1).cast("long")).alias("n_capped")
+        )
+        _warn_when_positive(
+            obs,
+            "n_capped",
+            "%s: max_bucket_size=%d bound for %d buckets — their candidate "
+            "pairs were thinned to a sorted-adjacency band (connectivity "
+            "preserved; raise the cap for exhaustive in-bucket pairs)",
+            warn_label,
+            max_bucket_size,
+        )
+    exploded = grouped.select("ids", F.posexplode("ids").alias("pos", "id_a"))
+    fwd = F.slice("ids", F.col("pos") + 2, max_bucket_size)
+    if not directed:
+        return exploded.select("id_a", F.explode(fwd).alias("id_b"))
+    bwd = F.slice(
+        "ids",
+        F.greatest(F.col("pos") + 1 - max_bucket_size, F.lit(1)),
+        F.least(F.col("pos"), F.lit(max_bucket_size)),
+    )
+    return exploded.select("id_a", F.explode(F.concat(fwd, bwd)).alias("id_b"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 16,
+    sig_len: int | None = None,
+    max_bucket_size: int = LSH_BUCKET_CAP,
+    warn_cap_binding: bool = False,
+) -> DataFrame:
     """MinHash-LSH banding: split each signature into `bands` equal slices,
     bucket on (band index, slice hash), emit distinct in-bucket pairs.
 
     This is the O(n^2)-avoidance step: pairs only form inside buckets, and
-    bucket sizes stay small for non-duplicate corpora. Pass `sig_len`
-    (the caller's num_hashes) to keep the plan fully lazy; omitting it
-    falls back to a driver-side single-row schema probe."""
+    bucket sizes stay small for non-duplicate corpora. Degenerate buckets
+    (mass-duplicated boilerplate) are bounded by `max_bucket_size` — see
+    _capped_bucket_pairs for the exact cap semantics. Candidate generation is
+    single-exchange: groupBy(band, bucket) + collect_list instead of a bucket
+    self-join, and the final distinct exchanges bare id pairs only.
+
+    Pass `sig_len` (the caller's num_hashes) to keep the plan fully lazy;
+    omitting it falls back to a driver-side single-row schema probe."""
     if sig_len is None:
         sig_len_row = signatures.select(F.size("sig").alias("n")).limit(1).collect()
         if not sig_len_row:
@@ -276,9 +378,11 @@ def lsh_candidate_pairs(signatures: DataFrame, bands: int = 16, sig_len: int | N
             )
         ).alias("bb"),
     ).select("id", "bb.band", "bb.bucket")
-    a = banded.select(F.col("id").alias("id_a"), "band", "bucket")
-    b = banded.select(F.col("id").alias("id_b"), "band", "bucket")
-    return a.join(b, ["band", "bucket"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    pairs = _capped_bucket_pairs(
+        banded, ["band", "bucket"], max_bucket_size, warn_cap_binding, "MinHash-LSH banding"
+    )
+    # same pair can collide in several bands; dedupe on bare ids (16 B/row)
+    return pairs.distinct()
 
 
 def minhash_dedup(
@@ -290,11 +394,16 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     hash_mode: str = "xxhash64",
+    max_bucket_size: int = LSH_BUCKET_CAP,
+    warn_cap_binding: bool = False,
 ) -> DataFrame:
-    """MinHash-LSH near-dup pipeline: shingle → sign → band → bucket-join →
-    EXACT Jaccard verification of the candidates only."""
+    """MinHash-LSH near-dup pipeline: shingle → sign → band → bucket →
+    EXACT Jaccard verification of the candidates only. Degenerate band
+    buckets are bounded by `max_bucket_size` (see _capped_bucket_pairs)."""
     sigs = minhash_signatures(docs, num_hashes, k, text_col, id_col, hash_mode)
-    cands = lsh_candidate_pairs(sigs, bands, sig_len=num_hashes)
+    cands = lsh_candidate_pairs(
+        sigs, bands, sig_len=num_hashes, max_bucket_size=max_bucket_size, warn_cap_binding=warn_cap_binding
+    )
     sh = word_shingles(docs, k, text_col, id_col)
     grouped = sh.groupBy("id").agg(F.collect_set("shingle").alias("sh"))
     j = (
@@ -491,18 +600,26 @@ def ann_lsh_topk(
     id_col: str = "vec_id",
     dim: int | None = None,
     n_tables: int = 1,
+    max_bucket_size: int = LSH_BUCKET_CAP,
+    warn_cap_binding: bool = False,
 ) -> DataFrame:
     """Approximate NN via random-hyperplane LSH: sign pattern of n_planes
-    projections → bucket; candidates only join within a bucket; exact cosine
+    projections → bucket; candidates only form within a bucket; exact cosine
     re-ranks candidates. Recall trades off with n_planes; the scale path —
-    bucket join replaces the all-pairs product.
+    bucketed candidate generation replaces the all-pairs product.
 
     `n_tables` > 1 enables OR-amplification: each table hashes with an
     independent hyperplane set (seed + table index), a pair is a candidate if
     it collides in ANY table, and candidates are deduped before the exact
-    re-rank. Recall rises ~(1 - (1 - p^b)^T) at T× the bucket-join cost —
+    re-rank. Recall rises ~(1 - (1 - p^b)^T) at T× the candidate cost —
     measured in tests/test_datapipe.py::test_ann_recall_floor and recorded
     in BENCH/ANN_RECALL.md.
+
+    Scale shape: candidate generation carries BARE IDS only (groupBy bucket
+    + collect_list, one exchange, per-bucket output bounded by
+    `max_bucket_size` — see _capped_bucket_pairs), the OR-amplification
+    dedup exchanges 16-byte id pairs (not 2·dim-double vector rows), and the
+    vectors travel exactly once per side through the re-attach joins.
 
     Pass `dim` explicitly to keep the plan fully lazy; omitting it falls
     back to a driver-side single-row schema probe."""
@@ -521,20 +638,35 @@ def ann_lsh_topk(
             for t in range(n_tables)
         ]
     )
-    tagged = (
-        emb.select(F.col(id_col).alias("id"), v.alias("vec"), F.explode(buckets).alias("bb"))
-        .select("id", "vec", F.col("bb.tbl").alias("tbl"), F.col("bb.b").alias("bucket"))
-        .withColumn("nrm", _norm(F.col("vec")))
+    tagged = emb.select(F.col(id_col).alias("id"), F.explode(buckets).alias("bb")).select(
+        "id", F.col("bb.tbl").alias("tbl"), F.col("bb.b").alias("bucket")
     )
-    a = tagged.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), "tbl", "bucket", F.col("nrm").alias("qnorm"))
-    b = tagged.select(F.col("id").alias("cid"), F.col("vec").alias("cvec"), "tbl", "bucket", F.col("nrm").alias("cnorm"))
-    joined = a.join(b, ["tbl", "bucket"]).where(F.col("qid") != F.col("cid"))
+    # directed=True: both (q, c) and (c, q) come out of the single bucket
+    # explode — a union of swapped halves would duplicate the whole
+    # candidate-generation subtree (two bucket exchanges) in the plan
+    cand = _capped_bucket_pairs(
+        tagged, ["tbl", "bucket"], max_bucket_size, warn_cap_binding, "sign-LSH bucketing",
+        directed=True,
+    )
     if n_tables > 1:
         # OR-amplification: same pair may collide in several tables — dedupe
-        # BEFORE the exact dot product so the re-rank work is per-pair
-        joined = joined.select("qid", "qvec", "qnorm", "cid", "cvec", "cnorm").distinct()
-    sims = joined.select(
-        "qid", "cid", (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos")
+        # on bare ids BEFORE vectors attach, so the distinct's exchange rows
+        # are 16 bytes, not 2·dim doubles
+        cand = cand.distinct()
+    vecs = emb.select(F.col(id_col).alias("id"), v.alias("vec")).withColumn("nrm", _norm(F.col("vec")))
+    sims = (
+        cand.select(F.col("id_a").alias("qid"), F.col("id_b").alias("cid"))
+        .join(
+            vecs.select(F.col("id").alias("qid"), F.col("vec").alias("qvec"), F.col("nrm").alias("qnorm")),
+            "qid",
+        )
+        .join(
+            vecs.select(F.col("id").alias("cid"), F.col("vec").alias("cvec"), F.col("nrm").alias("cnorm")),
+            "cid",
+        )
+        .select(
+            "qid", "cid", (_dot(F.col("qvec"), F.col("cvec")) / (F.col("qnorm") * F.col("cnorm"))).alias("cos")
+        )
     )
     w = Window.partitionBy("qid").orderBy(F.desc("cos"), F.asc("cid"))
     return sims.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= topk)
@@ -856,27 +988,28 @@ def embedding_dedup(
     bounds the per-bucket rank window at scale (a pathological bucket of m
     near-identical vectors would otherwise emit m^2/2 pairs); raise it (or
     pass None semantics via a large value) when exhaustive pair listing
-    matters more than bounded output. `warn_cap_binding=True` runs ONE extra
-    small aggregate job counting the query vectors whose candidate window
+    matters more than bounded output. `warn_cap_binding=True` attaches a
+    free Observation counting the query vectors whose candidate window
     filled (rank reached the cap — i.e. the cap may have truncated pairs)
-    and logs a warning when any exist; off by default because it triggers an
-    extra Spark job at call time."""
+    and logs a warning when any exist; the metric piggybacks on the
+    caller's first action on the result — NO extra Spark job."""
     ranked = ann_lsh_topk(
         emb, topk=max_pairs_per_vector, n_planes=n_planes, seed=seed,
         vec_col=vec_col, id_col=id_col, dim=dim, n_tables=n_tables,
     )
     if warn_cap_binding:
-        n_capped = (
-            ranked.where(F.col("rank") == max_pairs_per_vector)
-            .select("qid").distinct().count()
+        obs = Observation()
+        ranked = ranked.observe(
+            obs, F.sum((F.col("rank") == max_pairs_per_vector).cast("long")).alias("n_capped")
         )
-        if n_capped:
-            _log.warning(
-                "embedding_dedup: max_pairs_per_vector=%d bound for %d query "
-                "vectors — their near-dup pair lists may be truncated; raise "
-                "the cap for exhaustive listing",
-                max_pairs_per_vector, n_capped,
-            )
+        _warn_when_positive(
+            obs,
+            "n_capped",
+            "embedding_dedup: max_pairs_per_vector=%d bound for %d query "
+            "vectors — their near-dup pair lists may be truncated; raise "
+            "the cap for exhaustive listing",
+            max_pairs_per_vector,
+        )
     return (
         ranked.where((F.col("cos") >= threshold) & (F.col("qid") < F.col("cid")))
         .select(F.col("qid").alias("id_a"), F.col("cid").alias("id_b"), "cos")
