@@ -1380,6 +1380,48 @@ FROM l GROUP BY media_id
 """
 
 
+def _q_media_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image decode end-to-end: synth_images writes genuine binary PPM
+    (P6) payloads, image_features parses them (stdlib + numpy) inside
+    mapInPandas and computes per-channel sums + mean luma from the recovered
+    pixels. The oracle regenerates the identical pixels in SQL from the md5
+    derivation and recomputes every feature — a hash match proves the PPM
+    container roundtrip, the Arrow transport, and the feature math agree."""
+    from transcriptts.multimodal import image_features, synth_images
+
+    out = image_features(synth_images(spark, n=120, seed=42))
+    return _round6(out, "mean_luma")
+
+
+def _sql_media_image_features(n: int = 120, seed: int = 42) -> str:
+    """Fully-independent oracle: rebuild each image's (r, g, b) pixels from
+    the md5 hex-digit derivation (pure integer math — no float parity risk in
+    the pixels), then compute the features with SQL aggregates. Dimensions
+    follow synth_images: w = 8 + (i % 4) * 2, h = 6 + (i % 3) * 2."""
+    return f"""
+WITH m AS (
+  SELECT i AS media_id, 8 + (i % 4) * 2 AS w, 6 + (i % 3) * 2 AS h
+  FROM unnest(generate_series(0, {n - 1})) AS t(i)
+),
+px AS (
+  SELECT m.media_id, m.w, m.h,
+         ('0x' || substr(md5('{seed}:' || m.media_id || ':' || u.p), 1, 2))::int AS r,
+         ('0x' || substr(md5('{seed}:' || m.media_id || ':' || u.p), 3, 2))::int AS g,
+         ('0x' || substr(md5('{seed}:' || m.media_id || ':' || u.p), 5, 2))::int AS b
+  FROM m, unnest(generate_series(0, 139)) AS u(p)
+  WHERE u.p < m.w * m.h
+)
+SELECT cast(media_id AS BIGINT) AS media_id,
+       cast(any_value(w) AS INT) AS width,
+       cast(any_value(h) AS INT) AS height,
+       count(*) AS n_pixels,
+       cast(sum(r) AS BIGINT) AS sum_r, cast(sum(g) AS BIGINT) AS sum_g,
+       cast(sum(b) AS BIGINT) AS sum_b,
+       {_r6('(299 * sum(r) + 587 * sum(g) + 114 * sum(b)) / (1000.0 * count(*))', 'mean_luma')}
+FROM px GROUP BY media_id
+"""
+
+
 _SQL_MEDIA_FRAME_PLAN = """
 WITH m AS (
   SELECT i AS media_id, 300 + i AS n_frames
@@ -1477,6 +1519,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # already-green queries over UNCHANGED source files sit at the tail, where
     # a cap skip costs no evidence (their round-3 rows still stand).
     return {
+        # (a) NEW in round 5 — never driver-verified
+        "media_image_features": _q_media_image_features,
         # (a) never driver-verified before round 4
         "media_audio_features": _q_media_audio_features,
         "media_features": _q_media_features,
@@ -1607,6 +1651,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk_arrow": _SQL_ANN_IVF,
         "embedding_dedup": _sql_embedding_dedup(n_planes=6, seed=7, threshold=0.35),
         "media_audio_features": _sql_media_audio_features(n=120, seed=42),
+        "media_image_features": _sql_media_image_features(n=120, seed=42),
         "media_features": _sql_media_features(n=120, seed=42),
         "media_frame_plan": _SQL_MEDIA_FRAME_PLAN,
         "series_stats": _SQL_SERIES_STATS,

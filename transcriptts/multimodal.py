@@ -2,8 +2,10 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct; the
 Spark-side plumbing (schema, batch shape, partitioning, Arrow UDF
-signatures) is real and tested. The actual media decode is STUBBED — this
-container ships no image/audio libraries — behind two swappable paths:
+signatures) is real and tested. TWO modalities decode for REAL with stdlib
+only: PCM16 WAV audio (`decode_wav`/`audio_features`) and binary-PPM images
+(`decode_ppm`/`image_features`). Codecs needing external libraries
+(PNG/JPEG, h264 video) remain STUBBED behind two swappable paths:
 
 - `decode_stub='fake'` (default): deterministic pseudo-decode that derives a
   fixed-size feature vector from the payload bytes (sha-seeded), so the full
@@ -232,6 +234,127 @@ def audio_features(df: DataFrame) -> DataFrame:
             )
 
     return df.where(F.col("kind") == "audio").mapInPandas(run, AUDIO_FEATURE_SCHEMA)
+
+
+# --- real image path (binary PPM/P6: stdlib-parsable, no external libs) ------
+
+IMAGE_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, n_pixels long, "
+    "sum_r long, sum_g long, sum_b long, mean_luma double"
+)
+
+
+def _md5_pixel_rgb(media_id: int, n_pixels: int, seed: int = 42):
+    """Deterministic uint8 RGB pixels: pixel p's (r, g, b) are hex digits
+    (1-2, 3-4, 5-6) of md5('{seed}:{id}:{p}'). Pure integer derivation —
+    engine-portable, so a SQL oracle can regenerate the identical pixels and
+    verify the PPM decode path recovers them exactly (the image analogue of
+    _md5_pcm_samples)."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty((n_pixels, 3), dtype=np.uint8)
+    for p in range(n_pixels):
+        hx = hashlib.md5(f"{seed}:{media_id}:{p}".encode()).hexdigest()
+        out[p, 0] = int(hx[0:2], 16)
+        out[p, 1] = int(hx[2:4], 16)
+        out[p, 2] = int(hx[4:6], 16)
+    return out
+
+
+def synth_images(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic image table whose payloads are REAL binary PPM (P6)
+    files: 'P6\\n{w} {h}\\n255\\n' + raw RGB rows. Unlike synth_media's
+    opaque sha blobs, these bytes decode with a stdlib-only parser.
+    Dimensions vary per id: w = 8 + (i % 4) * 2, h = 6 + (i % 3) * 2."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 4) * 2, 6 + (i % 3) * 2
+        rgb = _md5_pixel_rgb(i, w * h, seed)
+        payload = f"P6\n{w} {h}\n255\n".encode() + rgb.tobytes()
+        meta = {"width": w, "height": h, "sample_rate": None, "n_frames": 1, "codec": "ppm"}
+        rows.append((i, "image", bytearray(payload), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_ppm(payload: bytes, kind: str = "image"):
+    """REAL image decode for one modality: binary PPM (P6) → uint8 array of
+    shape (height, width, 3). Header tokens are parsed with full PPM
+    whitespace/comment rules; pixel data is read zero-copy by numpy. Raises
+    on non-image kinds and non-P6 payloads — PNG/JPEG stay the documented
+    stub territory (PIL)."""
+    import numpy as np
+
+    if kind != "image":
+        raise NotImplementedError(f"decode_ppm handles kind='image' only, got {kind!r}")
+    data = bytes(payload)
+    if not data.startswith(b"P6"):
+        raise NotImplementedError("only binary PPM (P6) is supported — PNG/JPEG need PIL")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # exactly one whitespace byte separates maxval from pixel data
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit-per-channel PPM is supported")
+    return np.frombuffer(data, dtype=np.uint8, count=w * h * 3, offset=pos).reshape(h, w, 3)
+
+
+def ppm_feature_decoder(payload: bytes, kind: str) -> list:
+    """Adapter plugging the real PPM decode into the extract_features
+    `decoder=` seam: first FEATURE_DIM red-channel values scaled to [0, 1)
+    (zero-padded) — demonstrates the seam carries a second real decoder."""
+    arr = decode_ppm(payload, kind)
+    flat = arr[:, :, 0].reshape(-1)[:FEATURE_DIM]
+    out = [float(v) / 256.0 for v in flat]
+    return out + [0.0] * (FEATURE_DIM - len(out))
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Per-image features computed from ACTUALLY-DECODED pixels (not payload
+    hashes): dimensions, exact per-channel integer sums, and mean luma
+    (ITU-R BT.601: 0.299 r + 0.587 g + 0.114 b). mapInPandas over Arrow
+    batches — payloads stay columnar into Python; non-image rows are
+    filtered JVM-side so the decode UDF only ever sees PPM bytes."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_ppm(bytes(p)).astype(np.int64)
+                sr, sg, sb = (int(arr[:, :, c].sum()) for c in range(3))
+                n = arr.shape[0] * arr.shape[1]
+                # exact integer milli-luma sum, ONE double division — keeps
+                # the value bit-reproducible across engines (oracle parity)
+                luma_milli = 299 * sr + 587 * sg + 114 * sb
+                recs.append(
+                    {
+                        "media_id": mid,
+                        "width": arr.shape[1],
+                        "height": arr.shape[0],
+                        "n_pixels": n,
+                        "sum_r": sr,
+                        "sum_g": sg,
+                        "sum_b": sb,
+                        "mean_luma": luma_milli / (1000.0 * n),
+                    }
+                )
+            yield pd.DataFrame.from_records(recs)
+
+    return df.where(F.col("kind") == "image").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
