@@ -776,6 +776,79 @@ FROM f, unnest(generate_series(1, 3)) AS u(h)
 """
 
 
+def _q_grid_search_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 GridSearchOptimizer as a DataFrame job (optimize.py
+    grid_search_spark / GridSearchOptimizer.cs:286-330 Parallel.ForEach
+    analogue): the 10x10 (alpha, beta) grid is a DataFrame, the objective —
+    additive-Holt one-step-ahead SSE over one series, with the reference's
+    x[0] re-consumption quirk (HoltMethodExtrapolator.cs:118-148) — is a
+    pure JVM F.aggregate fold over the series literal, and the argmin is an
+    orderBy/limit with grid-order tiebreak. The series (first conv_id's
+    values) is collected driver-side once — k-row setup like the IVF
+    codebook, not a hot-path collect."""
+    from transcriptts.optimize import Param, grid_search_spark
+
+    sig = _signal(spark, sf_dir)
+    conv = sig.select(F.min("conv_id").alias("c")).collect()[0]["c"]
+    series = [
+        float(r["value"])
+        for r in sig.where(F.col("conv_id") == conv).orderBy("turn_idx").select("value").collect()
+    ]
+    init = F.struct(
+        F.lit(series[0]).alias("L"),
+        F.lit(series[1] - series[0]).alias("T"),
+        F.lit(0.0).alias("sse"),
+    )
+
+    def step(acc, x):
+        pred = acc["L"] + acc["T"]
+        level_new = F.col("alpha") * x + (F.lit(1.0) - F.col("alpha")) * pred
+        return F.struct(
+            level_new.alias("L"),
+            (F.col("beta") * (level_new - acc["L"]) + (F.lit(1.0) - F.col("beta")) * acc["T"]).alias("T"),
+            (acc["sse"] + (x - pred) * (x - pred)).alias("sse"),
+        )
+
+    obj = F.aggregate(F.lit(series), init, step)["sse"]
+    best = grid_search_spark(spark, obj, [Param("alpha", 0.0, 1.0), Param("beta", 0.0, 1.0)], steps=10)
+    return _round6(best.select("alpha", "beta", F.col("_objective").alias("sse")), "alpha", "beta", "sse")
+
+
+def _sql_grid_search_holt(steps: int = 10) -> str:
+    """Independent oracle: same grid (a = (1.0 * ia) / (steps-1) — the exact
+    _axis arithmetic), same SSE fold as list_reduce with order-identical
+    double expressions, argmin with the same (sse, alpha, beta) ordering."""
+    g = steps - 1
+    init = "{'v': NULL::DOUBLE, 'L': vs[1]::DOUBLE, 'T': (vs[2] - vs[1])::DOUBLE, 'sse': 0.0::DOUBLE}"
+    elems = "[{'v': v, 'L': NULL::DOUBLE, 'T': NULL::DOUBLE, 'sse': NULL::DOUBLE} FOR v IN vs]"
+    step = """
+      (acc, x) -> list_transform(
+        [alpha * x.v + (1.0 - alpha) * (acc.L + acc.T)],
+        Ln -> {'v': NULL::DOUBLE, 'L': Ln,
+               'T': beta * (Ln - acc.L) + (1.0 - beta) * acc.T,
+               'sse': acc.sse + (x.v - (acc.L + acc.T)) * (x.v - (acc.L + acc.T))})[1]"""
+    return f"""
+WITH {_T_SQL},
+sel AS (SELECT min(conv_id) AS c FROM t),
+s AS (
+  SELECT list(value ORDER BY turn_idx) AS vs FROM t
+  WHERE conv_id = (SELECT c FROM sel)
+),
+g AS (
+  SELECT 0.0 + (1.0 * ia) / {g} AS alpha, 0.0 + (1.0 * ib) / {g} AS beta
+  FROM unnest(generate_series(0, {g})) AS ua(ia),
+       unnest(generate_series(0, {g})) AS ub(ib)
+),
+fold AS (
+  SELECT alpha, beta,
+         list_reduce(list_prepend({init}, {elems}),{step}).sse AS sse
+  FROM g, s
+)
+SELECT {_r6('alpha', 'alpha')}, {_r6('beta', 'beta')}, {_r6('sse', 'sse')}
+FROM fold ORDER BY sse, alpha, beta LIMIT 1
+"""
+
+
 # --- cold-tier compression (north-star addition) ------------------------------
 
 
@@ -1521,6 +1594,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (a) NEW in round 5 — never driver-verified
         "media_image_features": _q_media_image_features,
+        "grid_search_holt": _q_grid_search_holt,
         # (a) never driver-verified before round 4
         "media_audio_features": _q_media_audio_features,
         "media_features": _q_media_features,
@@ -1652,6 +1726,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": _sql_embedding_dedup(n_planes=6, seed=7, threshold=0.35),
         "media_audio_features": _sql_media_audio_features(n=120, seed=42),
         "media_image_features": _sql_media_image_features(n=120, seed=42),
+        "grid_search_holt": _sql_grid_search_holt(steps=10),
         "media_features": _sql_media_features(n=120, seed=42),
         "media_frame_plan": _SQL_MEDIA_FRAME_PLAN,
         "series_stats": _SQL_SERIES_STATS,

@@ -69,3 +69,36 @@ def test_nelder_mead_multi_start_escapes():
     multi = nelder_mead(double_well, [Param("x", -4, 4, -3.0)], multi_start=True, max_restarts=5, seed=3)
     assert multi.best_value <= single.best_value
     assert multi.best_value == pytest.approx(0.0, abs=1e-3)
+
+
+def test_grid_search_spark_argmin_and_tiebreak(spark):
+    """grid_search_spark evaluates the objective as one DataFrame job and the
+    argmin breaks ties in grid order (first-wins, like the reference's
+    sequential strict-'<' fold). abs(x - 0.35) ties x=0.3 and x=0.4 on a
+    steps=11 grid... use a flat objective to force a full tie: the winner
+    must be the grid's FIRST row."""
+    from pyspark.sql import functions as F
+
+    from transcriptts.optimize import Param, grid_search_spark
+
+    best = grid_search_spark(
+        spark, (F.col("x") - F.lit(0.5)) * (F.col("x") - F.lit(0.5)),
+        [Param("x", 0.0, 1.0)], steps=11,
+    ).collect()[0]
+    assert best["x"] == pytest.approx(0.5)
+    flat = grid_search_spark(
+        spark, F.lit(1.0), [Param("x", 0.0, 1.0), Param("y", 2.0, 3.0)], steps=3
+    ).collect()[0]
+    assert (flat["x"], flat["y"]) == (0.0, 2.0)
+
+
+def test_grid_search_holt_query_stays_jvm_side(spark):
+    """The registered grid_search_holt objective is a pure F.aggregate fold:
+    no Python UDF nodes may appear in its plan."""
+    import __spark_entry__ as e
+
+    df = e.queries()["grid_search_holt"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    row = df.collect()[0]
+    assert 0.0 <= row["alpha"] <= 1.0 and 0.0 <= row["beta"] <= 1.0 and row["sse"] >= 0.0

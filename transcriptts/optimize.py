@@ -126,7 +126,12 @@ def grid_search_spark(spark, objective_col, params: list[Param], steps: int = 10
     schema = ", ".join(f"{p.name} double" for p in params)
     grid = spark.createDataFrame(rows, schema)
     scored = grid.withColumn("_objective", objective_col)
-    return scored.orderBy(F.asc_nulls_last("_objective")).limit(1)
+    # tiebreak in grid order (param columns ascending = itertools.product
+    # order) so ties resolve like the sequential strict-'<' fold — the
+    # reference's first-wins selection (GridSearchOptimizer.cs:286-330)
+    return scored.orderBy(
+        F.asc_nulls_last("_objective"), *[F.asc(p.name) for p in params]
+    ).limit(1)
 
 
 def nelder_mead(
