@@ -42,6 +42,20 @@ def spark_submit(
     pin_cpus: int = 0, pretouch: bool = True, heap_gb: int = 24,
 ) -> dict:
     os.makedirs("/dev/shm/spark-local", exist_ok=True)
+    # clamp the heap to ~60% of available RAM: a pretouched -Xms heap larger
+    # than that risks JVM start failure or host OOM (the same RAM backs the
+    # /dev/shm shuffle dir), e.g. --low 8 --high 32 at 3g/core asks for 96g
+    # of the 125GB host
+    try:
+        with open("/proc/meminfo") as fh:
+            avail_kb = next(int(l.split()[1]) for l in fh if l.startswith("MemAvailable:"))
+        cap_gb = max(2, int(avail_kb / 1024 / 1024 * 0.6))
+        if heap_gb > cap_gb:
+            print(f"spark_submit: clamping heap {heap_gb}g -> {cap_gb}g "
+                  f"(60% of MemAvailable)", file=sys.stderr)
+            heap_gb = cap_gb
+    except (OSError, StopIteration):
+        pass
     cmd = []
     if pin_cpus:
         # Pin the whole process tree (JVM + Python workers) to exactly
@@ -153,8 +167,12 @@ def main() -> None:
         help="timed passes for the HIGH leg (default: factor x passes, so both "
         "legs get ~equal wall-clock exposure; a short high leg sitting inside "
         "one noise burst would otherwise bias the ratio down)")
-    ap.add_argument("--low", type=int, default=8)
-    ap.add_argument("--high", type=int, default=32)
+    # defaults match the documented 2-vs-8 protocol (every committed figure
+    # uses it); 8/32 with per-core heaps would pretouch a 96g -Xms heap on a
+    # 125GB host that also backs the /dev/shm shuffle dir — see the clamp in
+    # spark_submit as the second line of defense
+    ap.add_argument("--low", type=int, default=2)
+    ap.add_argument("--high", type=int, default=8)
     ap.add_argument(
         "--no-pretouch", action="store_true",
         help="disable -Xms<heap> -XX:+AlwaysPreTouch on both legs (default "
@@ -196,10 +214,14 @@ def main() -> None:
     data_path = f"/tmp/transcriptts_scaling_{args.turns}.parquet"
     if not os.path.exists(data_path):
         n_convs = max(100, args.turns // 24)
+        # synth is untimed — skip the pretouch startup tax and keep its JVM
+        # config from silently diverging from the CLI flags
         r = spark_submit(
             f"local[{args.high}]", zip_path,
             ["synth", "--out", data_path, "--convs", str(n_convs), "--slices", "128"],
             4 * args.high,
+            pretouch=False,
+            heap_gb=args.heap_per_core * args.high,
         )
         print("synth:", r, file=sys.stderr)
 
