@@ -122,14 +122,29 @@ def spark_submit(
         *cli_args,
     ]
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
-    if out.returncode != 0:
-        sys.stderr.write(out.stderr[-4000:])
-        raise RuntimeError(f"spark-submit failed: {' '.join(cmd)}")
+    # Salvage the timing JSON even when the wrapper process dies at
+    # teardown AFTER the benchmark printed its result (observed: all
+    # passes complete, SparkContext stops with exitCode 0, then the
+    # spark-submit process exits non-zero — discarding stdout here lost
+    # a completed 24M leg's medians in the round-5 1v4 run).
+    result = None
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError("no JSON line in spark-submit output")
+            result = json.loads(line)
+            break
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        if result is not None:
+            sys.stderr.write(
+                f"\nspark-submit exited {out.returncode} at teardown but the "
+                "timing line was printed; using it.\n")
+            return result
+        sys.stderr.write(out.stdout[-4000:])
+        raise RuntimeError(f"spark-submit failed: {' '.join(cmd)}")
+    if result is None:
+        raise RuntimeError("no JSON line in spark-submit output")
+    return result
 
 
 def load1() -> float:
