@@ -1495,6 +1495,61 @@ FROM px GROUP BY media_id
 """
 
 
+def _q_media_video_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video decode end-to-end: synth_videos writes genuine YUV4MPEG2
+    (Y4M, C444) streams, video_features parses header + FRAME markers
+    (stdlib + numpy) inside mapInPandas, samples every 2nd frame, and
+    computes per-plane sums + mean luma from the recovered planes. The
+    oracle regenerates the identical YUV bytes in SQL from the md5
+    derivation and recomputes every feature — a hash match proves the Y4M
+    container roundtrip, the frame sampling stride, the Arrow transport, and
+    the feature math all agree. Closes the last media modality for real
+    (frame_sample_plan covers the planning half; this covers the decode)."""
+    from transcriptts.multimodal import synth_videos, video_features
+
+    out = video_features(synth_videos(spark, n=120, seed=42), every_n=2)
+    return _round6(out, "mean_y")
+
+
+def _sql_media_video_features(n: int = 120, seed: int = 42, every_n: int = 2) -> str:
+    """Fully-independent oracle: rebuild each sampled frame's (y, u, v)
+    planes from the md5 hex-digit derivation (pure integer math — no float
+    parity risk in the pixels), then compute the features with SQL
+    aggregates. Generators follow synth_videos: w = 8 + (i % 4) * 2,
+    h = 6 + (i % 3) * 2, n_frames = 3 + i % 4; the sampled-frame set is
+    generate_series(0, n_frames - 1, every_n) — the same inclusive stride
+    video_features takes with numpy's arr[::every_n]."""
+    return f"""
+WITH m AS (
+  SELECT i AS media_id, 8 + (i % 4) * 2 AS w, 6 + (i % 3) * 2 AS h,
+         3 + i % 4 AS nf
+  FROM unnest(generate_series(0, {n - 1})) AS t(i)
+),
+fr AS (
+  SELECT media_id, w, h, nf,
+         unnest(generate_series(0, nf - 1, {every_n})) AS f
+  FROM m
+),
+px AS (
+  SELECT fr.media_id, fr.w, fr.h, fr.nf, fr.f,
+         ('0x' || substr(md5('{seed}:' || fr.media_id || ':' || fr.f || ':' || u.p), 1, 2))::int AS y,
+         ('0x' || substr(md5('{seed}:' || fr.media_id || ':' || fr.f || ':' || u.p), 3, 2))::int AS u8,
+         ('0x' || substr(md5('{seed}:' || fr.media_id || ':' || fr.f || ':' || u.p), 5, 2))::int AS v8
+  FROM fr, unnest(generate_series(0, 139)) AS u(p)
+  WHERE u.p < fr.w * fr.h
+)
+SELECT cast(media_id AS BIGINT) AS media_id,
+       cast(any_value(w) AS INT) AS width,
+       cast(any_value(h) AS INT) AS height,
+       cast(any_value(nf) AS INT) AS n_frames,
+       cast(count(DISTINCT f) AS INT) AS n_sampled,
+       cast(sum(y) AS BIGINT) AS sum_y, cast(sum(u8) AS BIGINT) AS sum_u,
+       cast(sum(v8) AS BIGINT) AS sum_v,
+       {_r6('sum(y) / (1.0 * count(*))', 'mean_y')}
+FROM px GROUP BY media_id
+"""
+
+
 _SQL_MEDIA_FRAME_PLAN = """
 WITH m AS (
   SELECT i AS media_id, 300 + i AS n_frames
@@ -1595,6 +1650,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # skip costs one round of freshness at most.
     return {
         # (a) NEW in round 5 — never driver-verified
+        "media_video_features": _q_media_video_features,
         "media_image_features": _q_media_image_features,
         "grid_search_holt": _q_grid_search_holt,
         # (b) source files touched in round 5: datapipe.py (LSH bucket cap /
@@ -1730,6 +1786,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": _sql_embedding_dedup(n_planes=6, seed=7, threshold=0.35),
         "media_audio_features": _sql_media_audio_features(n=120, seed=42),
         "media_image_features": _sql_media_image_features(n=120, seed=42),
+        "media_video_features": _sql_media_video_features(n=120, seed=42, every_n=2),
         "grid_search_holt": _sql_grid_search_holt(steps=10),
         "media_features": _sql_media_features(n=120, seed=42),
         "media_frame_plan": _SQL_MEDIA_FRAME_PLAN,

@@ -632,3 +632,86 @@ def test_ppm_decoder_through_extract_features_seam(spark):
         want = [float(v) / 256.0 for v in px[: M.FEATURE_DIM, 0]]
         got = list(r["feature"])[: len(want)]
         assert got == pytest.approx(want, abs=1e-6)
+
+
+def test_y4m_decode_roundtrip_exact(spark):
+    """synth_videos payloads are genuine YUV4MPEG2 streams: decode_y4m
+    recovers the exact md5-derived planes of every frame, byte for byte."""
+    rows = M.synth_videos(spark, n=8).collect()
+    for r in rows:
+        arr = M.decode_y4m(bytes(r["payload"]))
+        w, h, nf = r["meta"]["width"], r["meta"]["height"], r["meta"]["n_frames"]
+        assert arr.shape == (nf, 3, h, w)
+        for f in range(nf):
+            want = M._md5_frame_yuv(r["media_id"], f, w * h).reshape(3, h, w)
+            assert (arr[f] == want).all()
+
+
+def test_y4m_decode_parses_tags_and_rejects_others():
+    import numpy as np
+
+    yuv = bytes(range(24))  # 2x2 C444 frame x2
+    payload = (
+        b"YUV4MPEG2 W2 H2 F30000:1001 It A0:0 C444 XCOMMENT\n"
+        b"FRAME Xparam\n" + yuv[:12] + b"FRAME\n" + yuv[12:]
+    )
+    arr = M.decode_y4m(payload)
+    assert arr.shape == (2, 3, 2, 2) and arr.tobytes() == yuv
+    with pytest.raises(NotImplementedError, match="YUV4MPEG2"):
+        M.decode_y4m(b"\x00\x00\x00\x18ftypmp42....")
+    with pytest.raises(NotImplementedError, match="C444"):
+        M.decode_y4m(b"YUV4MPEG2 W2 H2 C420jpeg\nFRAME\n" + yuv[:6])
+    with pytest.raises(NotImplementedError, match="C444"):
+        # no C tag -> Y4M's default chroma is 420, still unsupported
+        M.decode_y4m(b"YUV4MPEG2 W2 H2\nFRAME\n" + yuv[:6])
+    with pytest.raises(NotImplementedError, match="video"):
+        M.decode_y4m(payload, kind="image")
+
+
+def test_video_features_from_decoded_frames(spark):
+    """video_features values equal a straight numpy recompute from the md5
+    plane derivation over the every_n-sampled frames — proving the features
+    come from actually-decoded payload bytes and the sampling stride matches
+    range(0, nf, every_n)."""
+    import numpy as np
+
+    out = {
+        r["media_id"]: r
+        for r in M.video_features(M.synth_videos(spark, n=12), every_n=2).collect()
+    }
+    assert len(out) == 12
+    for i in range(12):
+        w, h, nf = 8 + (i % 4) * 2, 6 + (i % 3) * 2, 3 + i % 4
+        sampled = list(range(0, nf, 2))
+        planes = np.stack(
+            [M._md5_frame_yuv(i, f, w * h).astype(np.int64) for f in sampled]
+        )  # (ns, 3, w*h)
+        r = out[i]
+        assert (r["width"], r["height"], r["n_frames"], r["n_sampled"]) == (w, h, nf, len(sampled))
+        assert r["sum_y"] == int(planes[:, 0].sum())
+        assert r["sum_u"] == int(planes[:, 1].sum())
+        assert r["sum_v"] == int(planes[:, 2].sum())
+        assert r["mean_y"] == pytest.approx(planes[:, 0].sum() / (len(sampled) * w * h), abs=1e-9)
+
+
+def test_video_features_filters_non_video(spark):
+    """Mixed media frames: non-video rows are dropped JVM-side before the
+    decode UDF ever runs (their payloads would not parse as Y4M)."""
+    non_video = M.synth_media(spark, n=9).where("kind <> 'video'")
+    mixed = non_video.union(M.synth_videos(spark, n=4))
+    assert M.video_features(mixed, every_n=2).count() == 4
+
+
+def test_y4m_decoder_through_extract_features_seam(spark):
+    """The public decoder= seam carries the real Y4M decoder end-to-end."""
+    vids = M.synth_videos(spark, n=6)
+    rows = {
+        r["media_id"]: r
+        for r in M.extract_features(vids, decoder=M.y4m_feature_decoder).collect()
+    }
+    for i, r in rows.items():
+        w, h = 8 + (i % 4) * 2, 6 + (i % 3) * 2
+        planes = M._md5_frame_yuv(i, 0, w * h)
+        want = [float(v) / 256.0 for v in planes[0, : M.FEATURE_DIM]]
+        got = list(r["feature"])[: len(want)]
+        assert got == pytest.approx(want, abs=1e-6)

@@ -2,10 +2,11 @@
 
 Images/audio/video ride as `binary` columns with a metadata struct; the
 Spark-side plumbing (schema, batch shape, partitioning, Arrow UDF
-signatures) is real and tested. TWO modalities decode for REAL with stdlib
-only: PCM16 WAV audio (`decode_wav`/`audio_features`) and binary-PPM images
-(`decode_ppm`/`image_features`). Codecs needing external libraries
-(PNG/JPEG, h264 video) remain STUBBED behind two swappable paths:
+signatures) is real and tested. THREE modalities decode for REAL with stdlib
+only: PCM16 WAV audio (`decode_wav`/`audio_features`), binary-PPM images
+(`decode_ppm`/`image_features`), and Y4M/C444 video
+(`decode_y4m`/`video_features`). Codecs needing external libraries
+(PNG/JPEG, h264/vp9) remain STUBBED behind two swappable paths:
 
 - `decode_stub='fake'` (default): deterministic pseudo-decode that derives a
   fixed-size feature vector from the payload bytes (sha-seeded), so the full
@@ -355,6 +356,145 @@ def image_features(df: DataFrame) -> DataFrame:
             yield pd.DataFrame.from_records(recs)
 
     return df.where(F.col("kind") == "image").mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+# --- real video path (YUV4MPEG2/Y4M: stdlib-parsable, no external libs) ------
+
+VIDEO_FEATURE_SCHEMA = (
+    "media_id long, width int, height int, n_frames int, n_sampled int, "
+    "sum_y long, sum_u long, sum_v long, mean_y double"
+)
+
+
+def _md5_frame_yuv(media_id: int, frame_idx: int, n_pixels: int, seed: int = 42):
+    """Deterministic uint8 YUV pixels for one frame: pixel p's (y, u, v) are
+    hex digits (1-2, 3-4, 5-6) of md5('{seed}:{id}:{frame}:{p}'). Pure integer
+    derivation — engine-portable, so a SQL oracle can regenerate the identical
+    planes and verify the Y4M decode path recovers them exactly (the video
+    analogue of _md5_pcm_samples / _md5_pixel_rgb)."""
+    import hashlib
+
+    import numpy as np
+
+    out = np.empty((3, n_pixels), dtype=np.uint8)
+    for p in range(n_pixels):
+        hx = hashlib.md5(f"{seed}:{media_id}:{frame_idx}:{p}".encode()).hexdigest()
+        out[0, p] = int(hx[0:2], 16)
+        out[1, p] = int(hx[2:4], 16)
+        out[2, p] = int(hx[4:6], 16)
+    return out
+
+
+def synth_videos(spark, n: int = 100, seed: int = 42) -> DataFrame:
+    """Deterministic video table whose payloads are REAL YUV4MPEG2 (Y4M)
+    streams: 'YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\\n' then per frame
+    'FRAME\\n' + raw Y, U, V planes (C444: each plane is w*h bytes). Unlike
+    synth_media's opaque sha blobs, these bytes decode with a stdlib-only
+    parser. Dimensions follow synth_images (w = 8 + (i % 4) * 2,
+    h = 6 + (i % 3) * 2); frame count varies: n_frames = 3 + i % 4."""
+    rows = []
+    for i in range(n):
+        w, h = 8 + (i % 4) * 2, 6 + (i % 3) * 2
+        nf = 3 + i % 4
+        parts = [f"YUV4MPEG2 W{w} H{h} F25:1 Ip A1:1 C444\n".encode()]
+        for f in range(nf):
+            parts.append(b"FRAME\n")
+            parts.append(_md5_frame_yuv(i, f, w * h, seed).tobytes())
+        meta = {"width": w, "height": h, "sample_rate": None, "n_frames": nf, "codec": "y4m"}
+        rows.append((i, "video", bytearray(b"".join(parts)), meta))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def decode_y4m(payload: bytes, kind: str = "video"):
+    """REAL video decode for one modality: YUV4MPEG2 (Y4M, C444 8-bit) →
+    uint8 array of shape (n_frames, 3, height, width). The stream header and
+    per-frame FRAME markers are parsed with full Y4M tag rules (unknown tags
+    and frame parameters are skipped); plane data is read zero-copy by numpy.
+    Raises on non-video kinds and non-C444 chroma — h264/vp9 stay the
+    documented stub territory (pyav)."""
+    import numpy as np
+
+    if kind != "video":
+        raise NotImplementedError(f"decode_y4m handles kind='video' only, got {kind!r}")
+    data = bytes(payload)
+    nl = data.find(b"\n")
+    if nl < 0 or not data.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError("only YUV4MPEG2 (Y4M) is supported — h264/vp9 need pyav")
+    w = h = None
+    chroma = "420"  # Y4M default when no C tag is present
+    for tag in data[:nl].split(b" ")[1:]:
+        if tag[:1] == b"W":
+            w = int(tag[1:])
+        elif tag[:1] == b"H":
+            h = int(tag[1:])
+        elif tag[:1] == b"C":
+            chroma = tag[1:].decode()
+    if w is None or h is None:
+        raise ValueError("Y4M header missing W or H tag")
+    if chroma != "444":
+        raise NotImplementedError(f"only C444 Y4M is supported, got C{chroma}")
+    frame_bytes = w * h * 3
+    frames, pos = [], nl + 1
+    while pos < len(data):
+        if data[pos : pos + 5] != b"FRAME":
+            raise ValueError(f"expected FRAME marker at byte {pos}")
+        pos = data.find(b"\n", pos) + 1  # frame parameters (if any) are skipped
+        frames.append(
+            np.frombuffer(data, dtype=np.uint8, count=frame_bytes, offset=pos).reshape(3, h, w)
+        )
+        pos += frame_bytes
+    return np.stack(frames) if frames else np.empty((0, 3, h, w), dtype=np.uint8)
+
+
+def y4m_feature_decoder(payload: bytes, kind: str) -> list:
+    """Adapter plugging the real Y4M decode into the extract_features
+    `decoder=` seam: first FEATURE_DIM luma values of frame 0 scaled to
+    [0, 1) (zero-padded) — demonstrates the seam carries a third real
+    decoder."""
+    arr = decode_y4m(payload, kind)
+    flat = arr[0, 0].reshape(-1)[:FEATURE_DIM] if len(arr) else []
+    out = [float(v) / 256.0 for v in flat]
+    return out + [0.0] * (FEATURE_DIM - len(out))
+
+
+def video_features(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Per-video features computed from ACTUALLY-DECODED frames (not payload
+    hashes), over a sampled subset of frames (every `every_n`-th, same
+    inclusive stride as frame_sample_plan): dimensions, frame counts, exact
+    per-plane integer sums, and mean luma of the sampled frames. mapInPandas
+    over Arrow batches — payloads stay columnar into Python and
+    `arrow.maxRecordsPerBatch` bounds decoder memory (one batch holds at most
+    that many full videos); non-video rows are filtered JVM-side so the
+    decode UDF only ever sees Y4M bytes."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            recs = []
+            for mid, p in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_y4m(bytes(p))
+                nf, _, h, w = arr.shape
+                sampled = arr[::every_n].astype("int64")
+                ns = sampled.shape[0]
+                sy, su, sv = (int(sampled[:, c].sum()) for c in range(3))
+                recs.append(
+                    {
+                        "media_id": mid,
+                        "width": w,
+                        "height": h,
+                        "n_frames": nf,
+                        "n_sampled": ns,
+                        "sum_y": sy,
+                        "sum_u": su,
+                        "sum_v": sv,
+                        # exact integer sum, ONE double division — keeps the
+                        # value bit-reproducible across engines (oracle parity)
+                        "mean_y": sy / (1.0 * ns * w * h) if ns else 0.0,
+                    }
+                )
+            yield pd.DataFrame.from_records(recs)
+
+    return df.where(F.col("kind") == "video").mapInPandas(run, VIDEO_FEATURE_SCHEMA)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
