@@ -1565,6 +1565,51 @@ FROM m
 # --- statistical functions (SURVEY §2.7) ---------------------------------------
 
 
+def _q_polyfit_deg2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation degree-2 polynomial fit over the first 25 turns
+    (SURVEY §2.8 PolynomialFitter / MatrixOps, the SavGol window regime):
+    normal equations solved in closed form by Cramer's rule. quantize=1000
+    snaps y to milli-units so all sums/determinants are EXACT int64 in both
+    engines and each coefficient is one double division — bit-reproducible,
+    no float-summation-order parity risk."""
+    from transcriptts.stats import polyfit2
+
+    sig = _signal(spark, sf_dir).where(F.col("turn_idx") < 25)
+    out = polyfit2(sig, quantize=1000)
+    return _round6(out, "b0", "b1", "b2")
+
+
+# Same Gram/Cramer arithmetic in DuckDB: integer power sums (HUGEINT — exact),
+# the identical closed-form determinants, one double division per coefficient.
+_SQL_POLYFIT = f"""
+WITH {_T_SQL},
+q AS (
+  SELECT conv_id, cast(turn_idx AS BIGINT) AS x,
+         cast(floor(value * 1000 + 0.5) AS BIGINT) AS ym
+  FROM t WHERE turn_idx < 25
+),
+g AS (
+  SELECT conv_id, count(*) AS s0, sum(x) AS s1, sum(x*x) AS s2,
+         sum(x*x*x) AS s3, sum(x*x*x*x) AS s4,
+         sum(ym) AS t0, sum(x*ym) AS t1, sum(x*x*ym) AS t2
+  FROM q GROUP BY conv_id HAVING count(*) >= 3
+),
+d AS (
+  SELECT conv_id, s0,
+         s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2) AS det,
+         t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2) AS det0,
+         s0*(t1*s4 - s3*t2) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2) AS det1,
+         s0*(s2*t2 - s3*t1) - s1*(s1*t2 - s2*t1) + t0*(s1*s3 - s2*s2) AS det2
+  FROM g
+)
+SELECT conv_id, cast(s0 AS BIGINT) AS n,
+       {_r6('cast(det0 AS double) / (cast(det AS double) * 1000.0)', 'b0')},
+       {_r6('cast(det1 AS double) / (cast(det AS double) * 1000.0)', 'b1')},
+       {_r6('cast(det2 AS double) / (cast(det AS double) * 1000.0)', 'b2')}
+FROM d WHERE det <> 0
+"""
+
+
 def _q_series_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from transcriptts.stats import series_stats
 
@@ -1651,6 +1696,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # (a) NEW in round 5 — never driver-verified
         "media_video_features": _q_media_video_features,
+        "polyfit_deg2": _q_polyfit_deg2,
         "media_image_features": _q_media_image_features,
         "grid_search_holt": _q_grid_search_holt,
         # (b) source files touched in round 5: datapipe.py (LSH bucket cap /
@@ -1787,6 +1833,7 @@ def oracle_sql() -> dict[str, str]:
         "media_audio_features": _sql_media_audio_features(n=120, seed=42),
         "media_image_features": _sql_media_image_features(n=120, seed=42),
         "media_video_features": _sql_media_video_features(n=120, seed=42, every_n=2),
+        "polyfit_deg2": _SQL_POLYFIT,
         "grid_search_holt": _sql_grid_search_holt(steps=10),
         "media_features": _sql_media_features(n=120, seed=42),
         "media_frame_plan": _SQL_MEDIA_FRAME_PLAN,

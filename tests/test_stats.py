@@ -69,3 +69,54 @@ def test_normalize_and_zscore(series):
     # constant group → all zeros (reference: all-equal → zeros)
     crows = with_normalized(df).where("conv_id = 'c'").collect()
     assert all(r["normalized"] == 0.0 and r["zscore"] == 0.0 for r in crows)
+
+
+def test_polyfit2_matches_kernel_fit_polynomial(series):
+    """polyfit2 (distributed closed-form normal equations) equals the
+    reference-parity kernel fit_polynomial (normal equations via
+    np.linalg.solve) on the same series — tying SURVEY §2.8 MatrixOps /
+    PolynomialFitter to the Spark path."""
+    from transcriptts.kernels.smoothing import fit_polynomial
+    from transcriptts.stats import polyfit2
+
+    data, df = series
+    got = {r["conv_id"]: r for r in polyfit2(df).collect()}
+    for k in ("a", "b", "c"):
+        x = np.arange(len(data[k]), dtype=float)
+        want = fit_polynomial(x, np.asarray(data[k], dtype=float), 2)
+        r = got[k]
+        assert r["n"] == len(data[k])
+        for i, b in enumerate(("b0", "b1", "b2")):
+            assert r[b] == pytest.approx(want[i], rel=1e-6, abs=1e-9), (k, b)
+
+
+def test_polyfit2_quantized_mode_and_guards(spark):
+    """quantize=k fits the milli-snapped y exactly (integer Cramer path);
+    groups with < 3 points or a singular Gram matrix are dropped."""
+    from transcriptts.kernels.smoothing import fit_polynomial
+    from transcriptts.stats import polyfit2
+
+    rng = np.random.default_rng(7)
+    y = rng.normal(50, 10, 20)
+    rows = [("g", i, float(v)) for i, v in enumerate(y)]
+    rows += [("tiny", 0, 1.0), ("tiny", 1, 2.0)]  # n < 3 -> dropped
+    rows += [("sing", 5, 1.0), ("sing", 5, 2.0), ("sing", 5, 3.0)]  # one x -> singular
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, value double")
+    got = {r["conv_id"]: r for r in polyfit2(df, quantize=1000).collect()}
+    assert set(got) == {"g"}
+    yq = np.floor(y * 1000 + 0.5) / 1000.0
+    want = fit_polynomial(np.arange(len(y), dtype=float), yq, 2)
+    for i, b in enumerate(("b0", "b1", "b2")):
+        assert got["g"][b] == pytest.approx(want[i], rel=1e-9), b
+
+
+def test_polyfit2_plan_is_pure_jvm_single_agg(spark):
+    """Plan shape: one partial+final aggregation, no Python in the plan —
+    the closed-form Cramer solve is column arithmetic, not a UDF."""
+    from transcriptts.stats import polyfit2
+
+    rows = [("g", i, float(i * i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, value double")
+    plan = polyfit2(df, quantize=1000)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("Exchange hashpartitioning(conv_id") == 1

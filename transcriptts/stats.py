@@ -93,3 +93,69 @@ def with_normalized(df: DataFrame, value_col: str = "value", group_col: str = "c
     return df.withColumn("normalized", normalize(value_col, group_col)).withColumn(
         "zscore", zscore(value_col, group_col)
     )
+
+
+def polyfit2(
+    df: DataFrame,
+    x_col: str = "turn_idx",
+    y_col: str = "value",
+    group_col: str = "conv_id",
+    quantize: int | None = None,
+) -> DataFrame:
+    """Per-group degree-2 least-squares fit y = b0 + b1*x + b2*x^2 via the
+    normal equations, solved in closed form (Cramer's rule on the 3x3 Gram
+    matrix of power sums) — the distributed re-expression of the reference's
+    PolynomialFitter.FitPolynomial + MatrixOperations.TrySolveLinearSystem
+    (PolynomialFitter.cs:21-98, MatrixOperations.cs:300-318; same normal-
+    equations route, a one-shot formula instead of Gaussian elimination).
+
+    One aggregation pass (8 power/cross sums, partial aggregation applies)
+    then pure column arithmetic — nothing leaves the JVM, no matrix library
+    on the hot path, and at 100 TB the work is one map-side-combinable
+    groupBy regardless of series length.
+
+    With ``quantize=k`` the y values are first snapped to 1/k units
+    (floor(y*k + 0.5), exact in any engine) so every sum and determinant is
+    EXACT int64 arithmetic and each coefficient is one double division —
+    bit-reproducible across engines/partitionings (the oracle-parity mode).
+    Without it, sums are plain doubles (full precision, last-ulp
+    order-dependent like any distributed float sum).
+
+    Intermediates fit int64 when x stays window-sized: the largest term is
+    ~max(|y|*k) * max(x)^4 * n_rows_per_group — e.g. x < 25, k = 1000,
+    |y| < 1e6 gives ~1.2e17 < 2^63. Callers fit windows (the SavGol regime),
+    not unbounded indexes. Groups need >= 3 distinct x (singular Gram
+    otherwise); smaller/singular groups are dropped."""
+    x = F.col(x_col).cast("long")
+    if quantize:
+        y = F.floor(F.col(y_col).cast("double") * quantize + F.lit(0.5)).cast("long")
+    else:
+        y = F.col(y_col).cast("double")
+    g = (
+        df.groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("s0"),
+            F.sum(x).alias("s1"),
+            F.sum(x * x).alias("s2"),
+            F.sum(x * x * x).alias("s3"),
+            F.sum(x * x * x * x).alias("s4"),
+            F.sum(y).alias("t0"),
+            F.sum(x * y).alias("t1"),
+            F.sum(x * x * y).alias("t2"),
+        )
+        .where(F.col("s0") >= 3)
+    )
+    s0, s1, s2, s3, s4 = (F.col(c) for c in ("s0", "s1", "s2", "s3", "s4"))
+    t0, t1, t2 = (F.col(c) for c in ("t0", "t1", "t2"))
+    det = s0 * (s2 * s4 - s3 * s3) - s1 * (s1 * s4 - s3 * s2) + s2 * (s1 * s3 - s2 * s2)
+    det0 = t0 * (s2 * s4 - s3 * s3) - s1 * (t1 * s4 - s3 * t2) + s2 * (t1 * s3 - s2 * t2)
+    det1 = s0 * (t1 * s4 - s3 * t2) - t0 * (s1 * s4 - s3 * s2) + s2 * (s1 * t2 - t1 * s2)
+    det2 = s0 * (s2 * t2 - s3 * t1) - s1 * (s1 * t2 - s2 * t1) + t0 * (s1 * s3 - s2 * s2)
+    unscale = float(quantize) if quantize else 1.0
+    return g.where(det != 0).select(
+        group_col,
+        F.col("s0").alias("n"),
+        (det0.cast("double") / (det.cast("double") * unscale)).alias("b0"),
+        (det1.cast("double") / (det.cast("double") * unscale)).alias("b1"),
+        (det2.cast("double") / (det.cast("double") * unscale)).alias("b2"),
+    )
