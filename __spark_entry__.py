@@ -849,6 +849,69 @@ FROM fold ORDER BY sse, alpha, beta LIMIT 1
 """
 
 
+def _q_nelder_mead_quadratic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.6 NelderMeadOptimizer as a distributed per-series job (optimize.py
+    nelder_mead — reference parity NelderMeadOptimizer.cs:16-210). Each
+    conversation defines a strictly convex 2-D quadratic
+    f(x,y) = a·(x−mx)² + b·(y−my)² + c whose coefficients derive from the
+    conversation's turn count, with the argmin on the exact-sixteenth
+    lattice (mx, my are multiples of 1/16 — exact in binary AND at 4
+    decimal digits, so rounding is engine-independent). The REAL simplex
+    kernel minimizes it inside mapInPandas (one Arrow batch of
+    conversations per partition — conversations are the parallelism unit,
+    as for PELT/Holt), and the oracle recomputes the argmin analytically.
+    4-dp rounding makes the hash comparison exact: with f_tol=1e-13 and
+    stagnation detection disabled, NM lands within sqrt(f_tol/a) ≈ 3e-7 of
+    the lattice point — two orders tighter than the 5e-5 rounding
+    boundary (property-tested over n=1..2000 in tests/test_optimize.py)."""
+    from transcriptts.optimize import Param, nelder_mead
+
+    counts = _signal(spark, sf_dir).groupBy("conv_id").agg(F.count("*").alias("n"))
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for cid, n in zip(pdf["conv_id"], pdf["n"]):
+                n = int(n)
+                a = float(n % 5 + 1)
+                b = float((n * 3) % 5 + 1)
+                c = float(n % 11)
+                mx = ((n % 29) - 14) / 16.0
+                my = (((n * 7 + 3) % 29) - 14) / 16.0
+                res = nelder_mead(
+                    lambda p: a * (p["x"] - mx) ** 2 + b * (p["y"] - my) ** 2 + c,
+                    [Param("x", -2.0, 2.0, 0.0), Param("y", -2.0, 2.0, 0.0)],
+                    max_iterations=2000,
+                    f_tol=1e-13,
+                    x_tol=1e-8,
+                    stagnation_eps=0.0,
+                )
+                out.append(
+                    (
+                        cid,
+                        round(res.best_params["x"], 4),
+                        round(res.best_params["y"], 4),
+                        round(res.best_value, 4),
+                    )
+                )
+            yield pd.DataFrame(out, columns=["conv_id", "xmin", "ymin", "fmin"])
+
+    return counts.mapInPandas(run, "conv_id string, xmin double, ymin double, fmin double")
+
+
+_SQL_NELDER_MEAD = f"""
+WITH {_T_SQL},
+n AS (SELECT conv_id, count(*) AS n FROM t GROUP BY conv_id)
+SELECT conv_id,
+       ((n % 29) - 14) / 16.0 AS xmin,
+       (((n * 7 + 3) % 29) - 14) / 16.0 AS ymin,
+       cast(n % 11 AS double) AS fmin
+FROM n
+"""
+
+
 # --- cold-tier compression (north-star addition) ------------------------------
 
 
@@ -1695,12 +1758,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # skip costs one round of freshness at most.
     return {
         # (a) NEW in round 5 — never driver-verified
+        "nelder_mead_quadratic": _q_nelder_mead_quadratic,
         "media_video_features": _q_media_video_features,
         "polyfit_deg2": _q_polyfit_deg2,
         "media_image_features": _q_media_image_features,
         "grid_search_holt": _q_grid_search_holt,
         # (b) source files touched in round 5: datapipe.py (LSH bucket cap /
-        # single-exchange rewrite), multimodal.py (PPM image path)
+        # single-exchange rewrite), multimodal.py (PPM image path),
+        # stats.py (polyfit addition — re-verify its pre-existing queries)
+        "series_stats": _q_series_stats,
+        "normalize_zscore": _q_normalize,
         "minhash_lsh_dedup": _q_minhash_dedup,
         "ann_lsh_topk": _q_ann_lsh,
         "embedding_dedup": _q_embedding_dedup,
@@ -1747,12 +1814,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # (d continued) distinct PELT cost functions, r04-green, unchanged
         "pelt_l2": _q_pelt,
         "pelt_l1": _q_pelt_cost("l1", 5.0),
-        "pelt_rbf": _q_pelt_cost("rbf", 2.0),
-        "pelt_gaussian": _q_pelt_cost("gaussian", 10.0),
         "pelt_poisson": _q_pelt_poisson,
         "pelt_bernoulli": _q_pelt_bernoulli,
         "pelt_binomial": _q_pelt_binomial,
         # (e) tail: r04-green variants over unchanged files (cap-skippable)
+        "pelt_rbf": _q_pelt_cost("rbf", 2.0),
+        "pelt_gaussian": _q_pelt_cost("gaussian", 10.0),
         "pelt_ar1": _q_pelt_cost("ar", 10.0, order=1),
         "pelt_ar2": _q_pelt_cost("ar", 10.0, order=2),
         "pelt_ar3": _q_pelt_cost("ar", 10.0, order=3),
@@ -1762,8 +1829,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pelt_segment_stats": _q_pelt_segments,
         "penalty_selection_bic": _q_penalty_selection,
         "penalty_selection_aicc": _q_penalty_selection_aicc,
-        "series_stats": _q_series_stats,
-        "normalize_zscore": _q_normalize,
     }
 
 
@@ -1835,6 +1900,7 @@ def oracle_sql() -> dict[str, str]:
         "media_video_features": _sql_media_video_features(n=120, seed=42, every_n=2),
         "polyfit_deg2": _SQL_POLYFIT,
         "grid_search_holt": _sql_grid_search_holt(steps=10),
+        "nelder_mead_quadratic": _SQL_NELDER_MEAD,
         "media_features": _sql_media_features(n=120, seed=42),
         "media_frame_plan": _SQL_MEDIA_FRAME_PLAN,
         "series_stats": _SQL_SERIES_STATS,

@@ -71,6 +71,29 @@ def test_nelder_mead_multi_start_escapes():
     assert multi.best_value == pytest.approx(0.0, abs=1e-3)
 
 
+def test_nelder_mead_lattice_quadratics_round_exact():
+    """The nelder_mead_quadratic driver query's correctness premise: for
+    every turn count n, NM on the derived strictly convex quadratic lands
+    close enough to the exact-sixteenth argmin that 4-dp rounding recovers
+    it EXACTLY (the oracle computes the argmin analytically). Sweep the
+    full residue space of the derivation (lcm of the moduli involved
+    covers all distinct (a, b, c, mx, my) combos well before 2000)."""
+    for n in range(1, 2001, 7):  # every residue class mod 29, 5, 11 is hit
+        a = float(n % 5 + 1)
+        b = float((n * 3) % 5 + 1)
+        c = float(n % 11)
+        mx = ((n % 29) - 14) / 16.0
+        my = (((n * 7 + 3) % 29) - 14) / 16.0
+        res = nelder_mead(
+            lambda p: a * (p["x"] - mx) ** 2 + b * (p["y"] - my) ** 2 + c,
+            [Param("x", -2.0, 2.0, 0.0), Param("y", -2.0, 2.0, 0.0)],
+            max_iterations=2000, f_tol=1e-13, x_tol=1e-8, stagnation_eps=0.0,
+        )
+        assert round(res.best_params["x"], 4) == mx, n
+        assert round(res.best_params["y"], 4) == my, n
+        assert round(res.best_value, 4) == c, n
+
+
 def test_grid_search_spark_argmin_and_tiebreak(spark):
     """grid_search_spark evaluates the objective as one DataFrame job and the
     argmin breaks ties in grid order (first-wins, like the reference's
