@@ -20,6 +20,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from transcriptts import oracles as _oracles
+# the oracles below replicate the engine's sorted-adjacency band cap
+# (datapipe._capped_bucket_pairs) so query and oracle stay semantics-equal
+# even when a bucket exceeds the cap at larger scale factors
+from transcriptts.datapipe import LSH_BUCKET_CAP
 
 # --- shared projection ------------------------------------------------------
 
@@ -794,6 +798,11 @@ def _q_grid_search_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         float(r["value"])
         for r in sig.where(F.col("conv_id") == conv).orderBy("turn_idx").select("value").collect()
     ]
+    if len(series) < 2:
+        raise ValueError(
+            "grid_search_holt needs a first conversation with >= 2 turns; "
+            f"conv_id={conv!r} has {len(series)} rows in {sf_dir}"
+        )
     init = F.struct(
         F.lit(series[0]).alias("L"),
         F.lit(series[1] - series[0]).alias("T"),
@@ -845,7 +854,7 @@ fold AS (
   FROM g, s
 )
 SELECT {_r6('alpha', 'alpha')}, {_r6('beta', 'beta')}, {_r6('sse', 'sse')}
-FROM fold ORDER BY sse, alpha, beta LIMIT 1
+FROM (SELECT alpha, beta, sse FROM fold ORDER BY sse, alpha, beta LIMIT 1) best
 """
 
 
@@ -1123,10 +1132,13 @@ def _sql_minhash() -> str:
 WITH {_SQL_SHINGLES},
 sigr AS (SELECT id, {sig_terms} FROM sh GROUP BY id),
 sigs AS (SELECT id, {band_keys} FROM sigr),
-sigb AS (SELECT id, band, key FROM ({band_union})),
+sigb AS (SELECT id, band, key,
+                row_number() OVER (PARTITION BY band, key ORDER BY id) AS rn
+         FROM ({band_union})),
 cand AS (
   SELECT DISTINCT a.id AS id_a, b.id AS id_b
   FROM sigb a JOIN sigb b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+       AND b.rn - a.rn <= {LSH_BUCKET_CAP}
 ),
 doc_sh AS (SELECT id, list(DISTINCT shingle) AS shl FROM sh GROUP BY id)
 SELECT id_a, id_b,
@@ -1275,10 +1287,13 @@ def _sql_ann_lsh(n_planes: int = 8, seed: int = 42, topk: int = 5) -> str:
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, {_lsh_bucket_sql(n_planes, seed)} AS bucket FROM e),
+br AS (SELECT vec_id, v, bucket,
+              row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn FROM b),
 sims AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
          list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  FROM br q JOIN br c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+       AND abs(q.rn - c.rn) <= {LSH_BUCKET_CAP}
 ),
 ranked AS (
   SELECT qid, cid, cos,
@@ -1370,10 +1385,13 @@ def _sql_embedding_dedup(n_planes: int = 6, seed: int = 7, threshold: float = 0.
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, {_lsh_bucket_sql(n_planes, seed)} AS bucket FROM e),
+br AS (SELECT vec_id, v, bucket,
+              row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rn FROM b),
 sims AS (
   SELECT q.vec_id AS qid, c.vec_id AS cid,
          list_dot_product(q.v, c.v) / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS cos
-  FROM b q JOIN b c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+  FROM br q JOIN br c ON q.bucket = c.bucket AND q.vec_id != c.vec_id
+       AND abs(q.rn - c.rn) <= {LSH_BUCKET_CAP}
 ),
 ranked AS (
   SELECT qid, cid, cos,

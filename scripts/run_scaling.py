@@ -37,6 +37,16 @@ def make_zip(path: str) -> None:
                     z.write(full, os.path.relpath(full, REPO))
 
 
+def _heap_cap_gb() -> int | None:
+    """60% of MemAvailable in GB, or None when /proc/meminfo is unreadable."""
+    try:
+        with open("/proc/meminfo") as fh:
+            avail_kb = next(int(l.split()[1]) for l in fh if l.startswith("MemAvailable:"))
+        return max(2, int(avail_kb / 1024 / 1024 * 0.6))
+    except (OSError, StopIteration):
+        return None
+
+
 def spark_submit(
     master: str, zip_path: str, cli_args: list[str], shuffle_partitions: int,
     pin_cpus: int = 0, pretouch: bool = True, heap_gb: int = 24,
@@ -45,17 +55,14 @@ def spark_submit(
     # clamp the heap to ~60% of available RAM: a pretouched -Xms heap larger
     # than that risks JVM start failure or host OOM (the same RAM backs the
     # /dev/shm shuffle dir), e.g. --low 8 --high 32 at 3g/core asks for 96g
-    # of the 125GB host
-    try:
-        with open("/proc/meminfo") as fh:
-            avail_kb = next(int(l.split()[1]) for l in fh if l.startswith("MemAvailable:"))
-        cap_gb = max(2, int(avail_kb / 1024 / 1024 * 0.6))
-        if heap_gb > cap_gb:
-            print(f"spark_submit: clamping heap {heap_gb}g -> {cap_gb}g "
-                  f"(60% of MemAvailable)", file=sys.stderr)
-            heap_gb = cap_gb
-    except (OSError, StopIteration):
-        pass
+    # of the 125GB host. NOTE: this is a last-resort per-call defense; the
+    # paired protocol clamps --heap-per-core ONCE in main() so both legs
+    # keep EQUAL per-core heap even when the cap binds.
+    cap_gb = _heap_cap_gb()
+    if cap_gb is not None and heap_gb > cap_gb:
+        print(f"spark_submit: clamping heap {heap_gb}g -> {cap_gb}g "
+              f"(60% of MemAvailable)", file=sys.stderr)
+        heap_gb = cap_gb
     cmd = []
     if pin_cpus:
         # Pin the whole process tree (JVM + Python workers) to exactly
@@ -131,7 +138,10 @@ def spark_submit(
     for line in reversed(out.stdout.strip().splitlines()):
         line = line.strip()
         if line.startswith("{"):
-            result = json.loads(line)
+            try:
+                result = json.loads(line)
+            except json.JSONDecodeError:
+                continue  # truncated mid-print; keep scanning earlier lines
             break
     if out.returncode != 0:
         sys.stderr.write(out.stderr[-4000:])
@@ -221,6 +231,19 @@ def main() -> None:
         "auxiliary datapoints, e.g. a larger-input run, so the headline "
         "BASELINE.md is not overwritten)")
     args = ap.parse_args()
+    # clamp the per-core heap ONCE against the HIGH leg's total, so when the
+    # cap binds BOTH legs shrink together and the equal-per-core-memory
+    # invariant (asserted by the generated report prose) stays true; the
+    # per-call clamp in spark_submit would otherwise shrink only the wide
+    # leg and bias the measured efficiency down
+    cap_gb = _heap_cap_gb()
+    if cap_gb is not None and args.heap_per_core * args.high > cap_gb:
+        clamped = max(1, cap_gb // args.high)
+        print(f"clamping --heap-per-core {args.heap_per_core} -> {clamped} "
+              f"so the local[{args.high}] leg fits {cap_gb}g "
+              f"(60% of MemAvailable); both legs keep equal per-core heap",
+              file=sys.stderr)
+        args.heap_per_core = clamped
     shuffle_parts = args.shuffle_partitions or 4 * args.high
 
     zip_path = "/tmp/transcriptts.zip"

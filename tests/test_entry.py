@@ -82,3 +82,95 @@ def test_every_query_has_oracle_or_is_flagged():
     missing = set(qs) - set(osql)
     # non-SQL-expressible ops are allowed to omit oracles; keep the list visible
     print("rows-only checked queries:", sorted(missing))
+
+
+# --- band-cap oracle parity -------------------------------------------------
+# The engine bounds oversized LSH buckets with a sorted-adjacency band
+# (datapipe._capped_bucket_pairs); the oracle SQL replicates it as a
+# rank-distance join. These tests force the cap to BIND (buckets larger than
+# cap + 1) and assert the two sides still agree row-for-row — at driver scale
+# the cap never binds, so only these tests exercise the parity.
+
+
+def test_ann_lsh_band_cap_oracle_parity(spark):
+    import numpy as np
+    import pandas as pd
+
+    from transcriptts.datapipe import ann_lsh_topk
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    vecs = [base + 0.01 * rng.standard_normal(64) for _ in range(12)]
+    vecs += [rng.standard_normal(64) for _ in range(8)]
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [[float(x) for x in v] for v in vecs],
+        }
+    )
+    cap = 3
+    out = ann_lsh_topk(
+        spark.createDataFrame(pdf), topk=5, n_planes=2, seed=42, dim=64,
+        max_bucket_size=cap,
+    ).toPandas()
+
+    old = entrymod.LSH_BUCKET_CAP
+    entrymod.LSH_BUCKET_CAP = cap
+    try:
+        sql = entrymod._sql_ann_lsh(n_planes=2, seed=42, topk=5)
+    finally:
+        entrymod.LSH_BUCKET_CAP = old
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    bucket_sql = entrymod._lsh_bucket_sql(2, 42)
+    max_bucket = con.sql(
+        f"SELECT max(cnt) FROM (SELECT {bucket_sql} AS b, count(*) AS cnt "
+        "FROM (SELECT embedding::DOUBLE[] AS v FROM embeddings) GROUP BY 1)"
+    ).fetchone()[0]
+    assert max_bucket > cap + 1, "fixture must make the cap bind"
+    oracle = con.sql(sql).df()
+
+    s = {(int(r.qid), int(r.cid), round(float(r.cos), 6), int(r.rank)) for r in out.itertuples()}
+    o = {(int(r.qid), int(r.cid), round(float(r.cos), 6), int(r.rank)) for r in oracle.itertuples()}
+    assert s == o
+
+
+def test_minhash_band_cap_oracle_parity(spark):
+    import pandas as pd
+
+    from transcriptts.datapipe import minhash_dedup
+
+    boiler = "the quick brown fox jumps over the lazy dog again and again"
+    texts = [boiler] * 14 + [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "red green blue cyan magenta yellow",
+        "north south east west up down",
+        "apples pears plums grapes cherries figs",
+        "cats dogs birds fish mice rabbits",
+    ]
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    pdf["doc_id"] = pdf["doc_id"].astype("int64")
+    cap = 2
+    out = minhash_dedup(
+        spark.createDataFrame(pdf), num_hashes=32, bands=8, k=3,
+        threshold=0.3, hash_mode="md5", max_bucket_size=cap,
+    ).toPandas()
+
+    old = entrymod.LSH_BUCKET_CAP
+    entrymod.LSH_BUCKET_CAP = cap
+    try:
+        sql = entrymod._sql_minhash()
+    finally:
+        entrymod.LSH_BUCKET_CAP = old
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    oracle = con.sql(sql).df()
+
+    s = {(int(r.id_a), int(r.id_b), round(float(r.jaccard), 6)) for r in out.itertuples()}
+    o = {(int(r.id_a), int(r.id_b), round(float(r.jaccard), 6)) for r in oracle.itertuples()}
+    assert s == o
+    # 14 identical docs share every band bucket: uncapped banding would emit
+    # all 91 in-bucket pairs; the rank<=2 band keeps 13 + 12 = 25
+    boiler_pairs = {(a, b) for a, b, _ in s if a < 14 and b < 14}
+    assert len(boiler_pairs) == 25
